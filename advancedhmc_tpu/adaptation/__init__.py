@@ -1,0 +1,56 @@
+"""Adaptation layer (step size + mass matrix + composition schedules).
+
+TPU-native analogue of the reference's AdvancedHMC.Adaptation submodule
+(/root/reference/src/adaptation/): all adaptor state is immutable pytrees
+threaded through `lax.scan`.
+"""
+
+from .stepsize import DualAveragingConfig, DualAveragingState, da_update
+from .massmatrix import (
+    NutpieVarState,
+    UnitMassMatrixState,
+    WelfordCovState,
+    WelfordVarState,
+)
+from .stan import (
+    MM_NUTPIE,
+    MM_UNIT,
+    MM_WELFORD_COV,
+    MM_WELFORD_VAR,
+    NAIVE,
+    NONE,
+    MASSMATRIX,
+    STAN,
+    STEPSIZE,
+    AdaptState,
+    AdaptorConfig,
+    adapt_flags,
+    adapt_step,
+    adapt_step_batch,
+    stan_schedule,
+)
+
+__all__ = [
+    "DualAveragingConfig",
+    "DualAveragingState",
+    "da_update",
+    "NutpieVarState",
+    "UnitMassMatrixState",
+    "WelfordCovState",
+    "WelfordVarState",
+    "AdaptState",
+    "AdaptorConfig",
+    "adapt_flags",
+    "adapt_step",
+    "adapt_step_batch",
+    "stan_schedule",
+    "MM_NUTPIE",
+    "MM_UNIT",
+    "MM_WELFORD_COV",
+    "MM_WELFORD_VAR",
+    "NAIVE",
+    "NONE",
+    "MASSMATRIX",
+    "STAN",
+    "STEPSIZE",
+]

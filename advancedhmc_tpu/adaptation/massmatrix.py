@@ -1,0 +1,237 @@
+"""Online mass-matrix estimators (Welford var/cov, Nutpie) as pure pytrees.
+
+Mirrors /root/reference/src/adaptation/massmatrix.jl with Stan's shrinkage
+estimate n/((n+5)(n-1))·M + 1e-3·(5/(n+5)) (massmatrix.jl:152-157,335-340)
+and n_min=10 (massmatrix.jl:60-62).
+
+Two entry points per estimator:
+
+* `push(x)` — one sample (vmapped per chain reproduces the reference's
+  per-chain matrix mode, massmatrix.jl:103-121);
+* `push_batch(xs)` — a whole `(chains, dim)` batch folded in with the exact
+  Chan/parallel-Welford combine. This is the cross-chain adaptation path: under
+  `jit` with chains sharded over a mesh, the batch means/M2 reductions lower to
+  psums over ICI (SURVEY.md §2.3). The batch combine is algebraically exact —
+  the final (n, μ, M2) equal sequential pushes of every sample.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+N_MIN_DEFAULT = 10
+SHRINKAGE_EPS = 1.0e-3
+
+
+def _shrunk(n, m2, identity_like):
+    """Stan regularised estimate (ref massmatrix.jl:152-157)."""
+    nf = n.astype(m2.dtype)
+    return nf / ((nf + 5.0) * (nf - 1.0)) * m2 + SHRINKAGE_EPS * (
+        5.0 / (nf + 5.0)
+    ) * identity_like
+
+
+class WelfordVarState(struct.PyTreeNode):
+    """Diagonal (variance) estimator (ref massmatrix.jl:86-157)."""
+
+    n: jnp.ndarray      # sample count
+    mean: jnp.ndarray   # (dim,)
+    m2: jnp.ndarray     # (dim,) sum of squared deviations
+    var: jnp.ndarray    # (dim,) current M⁻¹ estimate
+    n_min: int = struct.field(pytree_node=False, default=N_MIN_DEFAULT)
+
+    @classmethod
+    def init(cls, dim, dtype=jnp.float32, n_min=N_MIN_DEFAULT):
+        z = jnp.zeros((dim,), dtype)
+        return cls(n=jnp.zeros((), jnp.int32), mean=z, m2=z,
+                   var=jnp.ones((dim,), dtype), n_min=n_min)
+
+    def push(self, x):
+        """Welford single-sample update (ref massmatrix.jl:141-149)."""
+        n = self.n + 1
+        nf = n.astype(x.dtype)
+        delta = x - self.mean
+        mean = self.mean + delta / nf
+        m2 = self.m2 + delta * delta * ((nf - 1.0) / nf)
+        return self.replace(n=n, mean=mean, m2=m2)
+
+    def push_batch(self, xs, weight_axis_total: Optional[jnp.ndarray] = None):
+        """Fold in a `(batch, dim)` block via exact parallel-Welford combine.
+
+        `weight_axis_total` overrides the batch count (for sharded batches
+        where `xs` is the local shard but means are global — unused in the
+        jit/GSPMD path where xs is the full logical batch).
+        """
+        c = xs.shape[0] if weight_axis_total is None else weight_axis_total
+        cf = jnp.asarray(c, xs.dtype)
+        b_mean = jnp.mean(xs, axis=0)
+        b_m2 = jnp.sum(jnp.square(xs - b_mean[None, :]), axis=0)
+        n0f = self.n.astype(xs.dtype)
+        n_new = self.n + c
+        nf = n0f + cf
+        delta = b_mean - self.mean
+        mean = self.mean + delta * (cf / nf)
+        m2 = self.m2 + b_m2 + jnp.square(delta) * (n0f * cf / nf)
+        return self.replace(n=n_new, mean=mean, m2=m2)
+
+    def update_estimate(self):
+        """Refresh `var` if n ≥ n_min (ref massmatrix.jl:60-62)."""
+        ok = self.n >= self.n_min
+        est = _shrunk(self.n, self.m2, jnp.ones_like(self.m2))
+        return self.replace(var=jnp.where(ok, est, self.var))
+
+    def reset(self):
+        """Zero moments, keep the current estimate (ref massmatrix.jl:134-139)."""
+        return self.replace(
+            n=jnp.zeros_like(self.n),
+            mean=jnp.zeros_like(self.mean),
+            m2=jnp.zeros_like(self.m2),
+        )
+
+    @property
+    def m_inv(self):
+        return self.var
+
+
+class WelfordCovState(struct.PyTreeNode):
+    """Dense (covariance) estimator (ref massmatrix.jl:284-340)."""
+
+    n: jnp.ndarray
+    mean: jnp.ndarray   # (dim,)
+    m2: jnp.ndarray     # (dim, dim)
+    cov: jnp.ndarray    # (dim, dim) current M⁻¹ estimate
+    n_min: int = struct.field(pytree_node=False, default=N_MIN_DEFAULT)
+
+    @classmethod
+    def init(cls, dim, dtype=jnp.float32, n_min=N_MIN_DEFAULT):
+        return cls(
+            n=jnp.zeros((), jnp.int32),
+            mean=jnp.zeros((dim,), dtype),
+            m2=jnp.zeros((dim, dim), dtype),
+            cov=jnp.eye(dim, dtype=dtype),
+            n_min=n_min,
+        )
+
+    def push(self, x):
+        """M += (s - μ_new)(s - μ_old)ᵀ (ref massmatrix.jl:324-332)."""
+        n = self.n + 1
+        nf = n.astype(x.dtype)
+        delta = x - self.mean
+        mean = self.mean + delta / nf
+        m2 = self.m2 + jnp.outer(x - mean, delta)
+        return self.replace(n=n, mean=mean, m2=m2)
+
+    def push_batch(self, xs):
+        c = xs.shape[0]
+        cf = jnp.asarray(c, xs.dtype)
+        b_mean = jnp.mean(xs, axis=0)
+        centred = xs - b_mean[None, :]
+        # (dim, dim) = centredᵀ @ centred — an MXU matmul for batched chains.
+        b_m2 = centred.T @ centred
+        n0f = self.n.astype(xs.dtype)
+        n_new = self.n + c
+        nf = n0f + cf
+        delta = b_mean - self.mean
+        mean = self.mean + delta * (cf / nf)
+        m2 = self.m2 + b_m2 + jnp.outer(delta, delta) * (n0f * cf / nf)
+        return self.replace(n=n_new, mean=mean, m2=m2)
+
+    def update_estimate(self):
+        ok = self.n >= self.n_min
+        est = _shrunk(self.n, self.m2, jnp.eye(self.m2.shape[0], dtype=self.m2.dtype))
+        return self.replace(cov=jnp.where(ok, est, self.cov))
+
+    def reset(self):
+        return self.replace(
+            n=jnp.zeros_like(self.n),
+            mean=jnp.zeros_like(self.mean),
+            m2=jnp.zeros_like(self.m2),
+        )
+
+    @property
+    def m_inv(self):
+        return self.cov
+
+
+class NutpieVarState(struct.PyTreeNode):
+    """Nutpie-style estimator: sqrt(var(θ)/var(∇ℓπ)) from paired position and
+    gradient Welford estimators (ref massmatrix.jl:172-250)."""
+
+    position: WelfordVarState
+    gradient: WelfordVarState
+    var: jnp.ndarray
+    n_min: int = struct.field(pytree_node=False, default=N_MIN_DEFAULT)
+
+    @classmethod
+    def init(cls, dim, dtype=jnp.float32, n_min=N_MIN_DEFAULT):
+        return cls(
+            position=WelfordVarState.init(dim, dtype, n_min),
+            gradient=WelfordVarState.init(dim, dtype, n_min),
+            var=jnp.ones((dim,), dtype),
+            n_min=n_min,
+        )
+
+    @property
+    def n(self):
+        return self.position.n
+
+    def push(self, theta, grad):
+        """Requires position AND gradient (ref massmatrix.jl:238-243)."""
+        return self.replace(
+            position=self.position.push(theta),
+            gradient=self.gradient.push(grad),
+        )
+
+    def push_batch(self, thetas, grads):
+        return self.replace(
+            position=self.position.push_batch(thetas),
+            gradient=self.gradient.push_batch(grads),
+        )
+
+    def update_estimate(self):
+        """sqrt(est_pos / est_grad) (ref massmatrix.jl:246-250)."""
+        ok = self.n >= self.n_min
+        est_p = _shrunk(self.position.n, self.position.m2,
+                        jnp.ones_like(self.position.m2))
+        est_g = _shrunk(self.gradient.n, self.gradient.m2,
+                        jnp.ones_like(self.gradient.m2))
+        est = jnp.sqrt(est_p / est_g)
+        return self.replace(var=jnp.where(ok, est, self.var))
+
+    def reset(self):
+        return self.replace(
+            position=self.position.reset(), gradient=self.gradient.reset()
+        )
+
+    @property
+    def m_inv(self):
+        return self.var
+
+
+class UnitMassMatrixState(struct.PyTreeNode):
+    """No-op adaptor, M⁻¹ = I (ref massmatrix.jl:28-51)."""
+
+    dim: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def init(cls, dim, dtype=jnp.float32, n_min=N_MIN_DEFAULT):
+        return cls(dim=dim)
+
+    def push(self, *args):
+        return self
+
+    def push_batch(self, *args):
+        return self
+
+    def update_estimate(self):
+        return self
+
+    def reset(self):
+        return self
+
+    @property
+    def m_inv(self):
+        return None

@@ -1,0 +1,216 @@
+"""Symplectic integrators (leapfrog family) as fused XLA scan loops.
+
+TPU-native redesign of /root/reference/src/integrator.jl:
+
+* One target-gradient evaluation per leapfrog step, with the gradient cached in
+  the `PhasePoint` and reused across steps (mirrors the fused loop at
+  /root/reference/src/integrator.jl:216-265).
+* Multi-step trajectories run under `jax.lax.scan` with static step counts —
+  no data-dependent Python control flow, so XLA compiles one fused kernel.
+* The reference's early `break` on a non-finite phase point
+  (/root/reference/src/integrator.jl:252-258) becomes a `done` flag in the scan
+  carry: the first non-finite point is kept (its -Inf log density auto-rejects
+  downstream) and all later steps are masked no-ops.
+* Jittered and tempered variants mirror
+  /root/reference/src/integrator.jl:112-156 (Stan-style ϵ0·(1+jitter·(2u-1)))
+  and /root/reference/src/integrator.jl:174-209 (sqrt(α) momentum scaling on a
+  half-step schedule).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .hamiltonian import Hamiltonian, PhasePoint
+
+
+class Leapfrog(struct.PyTreeNode):
+    """Leapfrog with fixed step size (ref /root/reference/src/integrator.jl:71-74)."""
+
+    step_size: jnp.ndarray  # scalar, traced so adaptation can update it
+
+    @property
+    def nom_step_size(self):
+        """Nominal step size used by adaptation (ref integrator.jl:26-32)."""
+        return self.step_size
+
+    @property
+    def current_step_size(self):
+        return self.step_size
+
+    def with_nom_step_size(self, eps):
+        """update_nom_step_size (ref integrator.jl:42-47,60)."""
+        return self.replace(step_size=eps)
+
+    def jitter(self, key):
+        """No-op for plain leapfrog (ref integrator.jl:52)."""
+        return self
+
+    def temper_scale(self, i, is_half_first, n_steps):
+        """Momentum tempering multiplier; identity for plain leapfrog."""
+        return None
+
+
+class JitteredLeapfrog(struct.PyTreeNode):
+    """Leapfrog with per-trajectory jittered step size.
+
+    ϵ = ϵ0 · (1 + jitter · (2u − 1)), u ~ U(0,1)
+    (ref /root/reference/src/integrator.jl:112-156, Stan base_hmc.hpp).
+    """
+
+    step_size0: jnp.ndarray      # nominal step size (adapted)
+    step_size: jnp.ndarray       # current jittered step size
+    jitter_frac: float = struct.field(pytree_node=False, default=0.1)
+
+    @classmethod
+    def create(cls, step_size0, jitter_frac=0.1):
+        eps0 = jnp.asarray(step_size0)
+        return cls(step_size0=eps0, step_size=eps0, jitter_frac=jitter_frac)
+
+    @property
+    def nom_step_size(self):
+        return self.step_size0
+
+    @property
+    def current_step_size(self):
+        return self.step_size
+
+    def with_nom_step_size(self, eps):
+        return self.replace(step_size0=eps)
+
+    def jitter(self, key):
+        u = jax.random.uniform(key, dtype=jnp.result_type(self.step_size0))
+        eps = self.step_size0 * (1 + self.jitter_frac * (2 * u - 1))
+        return self.replace(step_size=eps)
+
+    def temper_scale(self, i, is_half_first, n_steps):
+        return None
+
+
+class TemperedLeapfrog(struct.PyTreeNode):
+    """Leapfrog with momentum tempering parameter α.
+
+    Momentum is multiplied by sqrt(α) on the first half of the trajectory's
+    half-steps and divided by sqrt(α) on the second half
+    (ref /root/reference/src/integrator.jl:198-209).
+    """
+
+    step_size: jnp.ndarray
+    alpha: float = struct.field(pytree_node=False, default=1.05)
+
+    @property
+    def nom_step_size(self):
+        return self.step_size
+
+    @property
+    def current_step_size(self):
+        return self.step_size
+
+    def with_nom_step_size(self, eps):
+        return self.replace(step_size=eps)
+
+    def jitter(self, key):
+        return self
+
+    def temper_scale(self, i, is_half_first, n_steps):
+        # i_temper = 2(i-1) + 1 + !is_half, 1-indexed (ref integrator.jl:207)
+        i_temper = 2 * i + 1 + jnp.where(is_half_first, 0, 1)  # i is 0-indexed here
+        sqrt_a = jnp.sqrt(jnp.asarray(self.alpha, dtype=jnp.result_type(self.step_size)))
+        return jnp.where(i_temper <= n_steps, sqrt_a, 1.0 / sqrt_a)
+
+
+def leapfrog_step(
+    integrator,
+    h: Hamiltonian,
+    z: PhasePoint,
+    eps,
+    step_index=0,
+    n_steps=1,
+) -> PhasePoint:
+    """One fused kick-drift-kick step reusing the cached gradient.
+
+    `eps` is the signed step size (negative integrates backwards in time).
+    Mirrors the loop body at /root/reference/src/integrator.jl:233-259; note
+    the reference's `gradient` is ∂H∂θ = -∇ℓπ while our cached `grad` is ∇ℓπ.
+    """
+    r = z.r
+    scale = integrator.temper_scale(step_index, True, n_steps)
+    if scale is not None:
+        r = r * scale
+    r = r + 0.5 * eps * z.grad
+    theta = z.theta + eps * h.velocity(r)
+    logdensity, grad = h.target.logdensity_and_grad(theta)
+    r = r + 0.5 * eps * grad
+    scale = integrator.temper_scale(step_index, False, n_steps)
+    if scale is not None:
+        r = r * scale
+    return h.phasepoint(theta, r, logdensity=logdensity, grad=grad)
+
+
+def leapfrog_steps(
+    integrator,
+    h: Hamiltonian,
+    z: PhasePoint,
+    n_steps: int,
+    fwd: bool = True,
+) -> PhasePoint:
+    """Integrate `n_steps` leapfrog steps, aborting after a non-finite point.
+
+    Static-shape scan equivalent of /root/reference/src/integrator.jl:216-265
+    (no full-trajectory storage). Returns the final phase point — possibly the
+    first non-finite one, whose clamped -Inf log density auto-rejects.
+    """
+    eps = integrator.current_step_size
+    eps = jnp.where(fwd, eps, -eps) if not isinstance(fwd, bool) else (eps if fwd else -eps)
+
+    def body(carry, i):
+        z, done = carry
+        z_new = leapfrog_step(integrator, h, z, eps, step_index=i, n_steps=n_steps)
+        take = jnp.logical_not(done)
+        z_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, b, a), z, z_new
+        )
+        done_new = done | jnp.logical_not(z_new.is_finite())
+        return (z_out, done_new), None
+
+    (z_final, _), _ = jax.lax.scan(
+        body, (z, jnp.asarray(False)), jnp.arange(n_steps)
+    )
+    return z_final
+
+
+def leapfrog_trajectory(
+    integrator,
+    h: Hamiltonian,
+    z: PhasePoint,
+    n_steps: int,
+    fwd: bool = True,
+) -> Tuple[PhasePoint, jnp.ndarray]:
+    """Integrate and return the whole trajectory (stacked) plus a taken-mask.
+
+    Equivalent of `full_trajectory=Val(true)` at
+    /root/reference/src/integrator.jl:229,249-258: entries after the first
+    non-finite point are untaken (mask False); the non-finite point itself is
+    kept in the trajectory (True) but carries -Inf weight downstream.
+    """
+    eps = integrator.current_step_size
+    eps = jnp.where(fwd, eps, -eps) if not isinstance(fwd, bool) else (eps if fwd else -eps)
+
+    def body(carry, i):
+        z, done = carry
+        z_new = leapfrog_step(integrator, h, z, eps, step_index=i, n_steps=n_steps)
+        take = jnp.logical_not(done)
+        z_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(take, b, a), z, z_new
+        )
+        done_new = done | jnp.logical_not(z_new.is_finite())
+        return (z_out, done_new), (z_out, take)
+
+    (_, _), (zs, taken) = jax.lax.scan(
+        body, (z, jnp.asarray(False)), jnp.arange(n_steps)
+    )
+    return zs, taken

@@ -1,0 +1,389 @@
+"""NUTS: iterative tree doubling under `lax.while_loop` (vmappable).
+
+TPU-native redesign of the recursive `build_tree`/`transition` pair at
+/root/reference/src/trajectory.jl:626-742. The recursion is flattened into a
+single bounded while-loop that takes ONE leapfrog step per iteration and runs
+the doubling bookkeeping in O(max_depth) masked arithmetic, so the whole
+sampler is `vmap`-able across thousands of chains — the capability the
+reference lacks (its NUTS is scalar-chain only, trajectory.jl:677).
+
+Semantics preserved from the recursion (see SURVEY.md §3.4):
+
+* left-to-right leaf visit order within a doubling (direction decides which
+  side extends), with early exit after the first leaf that triggers
+  divergence or a completed-subtree U-turn;
+* U-turn checks at exactly the aligned power-of-two subtrees the recursion
+  checks: when visit-leaf i is added and i has t trailing one-bits, the
+  subtrees of sizes 2¹..2^t ending at i are checked;
+* all three criteria — Classic (position-based, trajectory.jl:551-557),
+  Generalised (ρ-based, :566-570), StrictGeneralised (+left/right half-tree
+  checks, :579-613) — with correct tree-order orientation for backward
+  builds;
+* per-leaf divergence checks (:500-507), slice/multinomial leaf samplers and
+  their unbiased in-subtree combines (:144-200), biased progressive sampling
+  at the top level (:202-206,708-713), unconditional top-level tree combine
+  (:714-722), and the full transition-stat set (:726-739).
+
+The recursion's O(log L) stack of subtree states becomes two fixed-size
+checkpoint stacks indexed by trailing-zero counts:
+
+* even-visit leaves store (θ, r, M⁻¹r, within-subtree momentum cumsum) at
+  slot tz(i) (slot max_depth-1 for i=0) — each slot provably survives until
+  its last reader;
+* odd-visit leaves store (r, M⁻¹r) at slot tz(i+1) — read back as the
+  mid-boundary of strict sub-checks (spans of size ≥ 4).
+
+Velocities (M⁻¹r, the reference's ∂H∂r) are computed once per leaf and cached
+in the stacks, so each U-turn check is a handful of dot products.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .hamiltonian import Hamiltonian, PhasePoint
+from .integrators import leapfrog_step
+from .termination import (
+    MULTINOMIAL,
+    SLICE,
+    ClassicNoUTurn,
+    DynamicTerminationCriterion,
+    GeneralisedNoUTurn,
+    StrictGeneralisedNoUTurn,
+)
+from .utils import maxabs, rand_exponential, rand_sign, trailing_ones, trailing_zeros
+
+
+def _where_z(pred, a: PhasePoint, b: PhasePoint) -> PhasePoint:
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _uturn_generalised(rho, vel_a, vel_b):
+    """dot(ρ, v⁻) ≤ 0 or dot(ρ, v⁺) ≤ 0 (ref trajectory.jl:615-617)."""
+    return (jnp.dot(rho, vel_a) <= 0) | (jnp.dot(rho, vel_b) <= 0)
+
+
+def _uturn_classic(dtheta_tree, vel_l, vel_r):
+    """Classic H&G criterion in tree order (ref trajectory.jl:551-557).
+
+    Terminated when dot(Δθ, v_left) ≤ 0 or dot(Δθ, v_right) ≤ 0 with
+    Δθ = θ_right - θ_left (the reference's sign-flipped `>= 0` form).
+    """
+    return (jnp.dot(dtheta_tree, vel_l) <= 0) | (jnp.dot(dtheta_tree, vel_r) <= 0)
+
+
+def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint):
+    """One NUTS transition; returns (z_next, stats dict).
+
+    `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
+    whose ts_kind is 'multinomial' or 'slice'.
+    """
+    criterion = traj.criterion
+    assert isinstance(criterion, DynamicTerminationCriterion)
+    ts = traj.ts_kind
+    integ = traj.integrator
+    max_depth = int(criterion.max_depth)
+    is_classic = isinstance(criterion, ClassicNoUTurn)
+    is_strict = isinstance(criterion, StrictGeneralisedNoUTurn)
+
+    dim = z0.theta.shape[-1]
+    dtype = z0.theta.dtype
+    h0 = z0.energy()
+    delta_max = jnp.asarray(criterion.delta_max, dtype=jnp.result_type(h0))
+    eps = integ.current_step_size
+
+    key, key_slice = jax.random.split(key)
+    if ts == SLICE:
+        # ℓu = -H0 - Exp(1)  (ref trajectory.jl:144-145)
+        lu = -h0 - rand_exponential(key_slice, dtype=jnp.result_type(h0))
+        top_w0 = jnp.asarray(1.0, dtype)   # n = 1 acceptable candidate (root)
+        sub_w0 = jnp.asarray(0.0, dtype)
+    else:
+        lu = jnp.zeros_like(h0)
+        top_w0 = jnp.asarray(0.0, dtype)   # ℓw = 0 (ref trajectory.jl:155)
+        sub_w0 = jnp.asarray(-jnp.inf, dtype)
+
+    vel0 = h.velocity(z0.r)
+    zeros_d = jnp.zeros((dim,), dtype)
+    stack = jnp.zeros((max_depth, dim), dtype)
+
+    state = dict(
+        key=key,
+        # --- top-level tree (ref BinaryTree, trajectory.jl:512-519) ---
+        t_zleft=z0,
+        t_zright=z0,
+        t_vleft=vel0,
+        t_vright=vel0,
+        t_rho=z0.r,
+        zcand=z0,
+        t_w=top_w0,
+        sum_alpha=jnp.asarray(0.0, dtype),
+        n_alpha=jnp.asarray(0, jnp.int32),
+        dh_max=jnp.asarray(0.0, jnp.result_type(h0)),
+        depth=jnp.asarray(0, jnp.int32),
+        turning=jnp.asarray(False),
+        diverged=jnp.asarray(False),
+        done=jnp.asarray(False),
+        # --- doubling-local subtree ---
+        v=jnp.asarray(1, jnp.int32),
+        leaf=jnp.asarray(0, jnp.int32),
+        z_edge=z0,           # last evaluated leaf (integration edge)
+        v_edge=vel0,
+        s_zfirst=z0,         # first evaluated leaf of the subtree
+        s_vfirst=vel0,
+        s_rho=zeros_d,
+        s_w=sub_w0,
+        s_zcand=z0,
+        s_sum_alpha=jnp.asarray(0.0, dtype),
+        s_n_alpha=jnp.asarray(0, jnp.int32),
+        s_dh_max=jnp.asarray(0.0, jnp.result_type(h0)),
+        s_turning=jnp.asarray(False),
+        s_diverged=jnp.asarray(False),
+        # --- checkpoint stacks ---
+        ck_theta=stack,
+        ck_r=stack,
+        ck_vel=stack,
+        ck_cum=stack,
+        ck_odd_r=stack,
+        ck_odd_vel=stack,
+    )
+
+    def cond(st):
+        return jnp.logical_not(st["done"])
+
+    def body(st):
+        key, k_dir, k_res, k_mh = jax.random.split(st["key"], 4)
+        start = st["leaf"] == 0
+
+        # --- begin a new doubling: draw direction, pick edge, reset subtree ---
+        v = jnp.where(start, rand_sign(k_dir), st["v"])
+        fwd = v > 0
+        z_start_edge = _where_z(fwd, st["t_zright"], st["t_zleft"])
+        v_start_edge = jnp.where(fwd, st["t_vright"], st["t_vleft"])
+        z_edge = _where_z(start, z_start_edge, st["z_edge"])
+        s_rho = jnp.where(start, zeros_d, st["s_rho"])
+        s_w = jnp.where(start, sub_w0, st["s_w"])
+        s_sum_alpha = jnp.where(start, 0.0, st["s_sum_alpha"])
+        s_n_alpha = jnp.where(start, 0, st["s_n_alpha"])
+        s_dh_max = jnp.where(start, 0.0, st["s_dh_max"])
+        s_turning = jnp.where(start, False, st["s_turning"])
+        s_diverged = jnp.where(start, False, st["s_diverged"])
+
+        # --- one leapfrog step in direction v (ref base case, :638-647) ---
+        eps_signed = eps * v.astype(dtype)
+        z_new = leapfrog_step(integ, h, z_edge, eps_signed)
+        vel_new = h.velocity(z_new.r)
+        h_new = z_new.energy()
+        dh = h_new - h0
+        alpha_leaf = jnp.exp(jnp.minimum(jnp.zeros_like(dh), -dh))
+        alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
+
+        i = st["leaf"]
+
+        # --- leaf sampler statistics ---
+        if ts == SLICE:
+            leaf_n = (lu <= -h_new).astype(dtype)  # ref :164-166
+            new_sw = s_w + leaf_n
+            u = jax.random.uniform(k_res, dtype=dtype)
+            take = (new_sw * u >= s_w) & (leaf_n > 0)  # reservoir ≡ combine :178-183
+            diverging = jnp.logical_not(lu < delta_max - h_new)  # ref :500-502
+        else:
+            lw_leaf = h0 - h_new  # ref :174-176
+            new_sw = jnp.logaddexp(s_w, lw_leaf)
+            u = jax.random.uniform(k_res, dtype=dtype)
+            take = jnp.log(u) < lw_leaf - new_sw  # reservoir ≡ combine :191-195
+            diverging = jnp.logical_not(-h0 < delta_max - h_new)  # ref :503-507
+        s_w = new_sw  # subtree weight now includes the current leaf
+
+        s_zcand = _where_z(take, z_new, st["s_zcand"])
+        s_rho = s_rho + z_new.r
+        s_sum_alpha = s_sum_alpha + alpha_leaf
+        s_n_alpha = s_n_alpha + 1
+        s_dh_max = maxabs(s_dh_max, dh)
+        s_zfirst = _where_z(start, z_new, st["s_zfirst"])
+        s_vfirst = jnp.where(start, vel_new, st["s_vfirst"])
+
+        # --- U-turn checks for completed aligned subtrees ending at leaf i ---
+        ck_theta, ck_r, ck_vel, ck_cum = (
+            st["ck_theta"], st["ck_r"], st["ck_vel"], st["ck_cum"],
+        )
+        ck_odd_r, ck_odd_vel = st["ck_odd_r"], st["ck_odd_vel"]
+
+        i_even = (i % 2) == 0
+        t_ones = trailing_ones(i)
+        turn_here = jnp.asarray(False)
+        vsign = v.astype(dtype)
+        for k in range(1, max_depth):
+            span = 1 << k
+            active = jnp.logical_not(i_even) & (k <= t_ones)
+            a = i - span + 1
+            tz_a = trailing_zeros(jnp.maximum(a, 1))
+            slot_a = jnp.where(a == 0, max_depth - 1, jnp.minimum(tz_a, max_depth - 1))
+            th_a = jax.lax.dynamic_index_in_dim(ck_theta, slot_a, keepdims=False)
+            r_a = jax.lax.dynamic_index_in_dim(ck_r, slot_a, keepdims=False)
+            vel_a = jax.lax.dynamic_index_in_dim(ck_vel, slot_a, keepdims=False)
+            cum_a = jax.lax.dynamic_index_in_dim(ck_cum, slot_a, keepdims=False)
+            rho_span = s_rho - cum_a + r_a
+            if is_classic:
+                dtheta = vsign * (z_new.theta - th_a)
+                turn_k = _uturn_classic(dtheta, vel_a, vel_new)
+            else:
+                turn_k = _uturn_generalised(rho_span, vel_a, vel_new)
+            if is_strict and k >= 2:
+                # mid = a + 2^{k-1} - 1 (odd), mid+1 even at slot k-1
+                r_m1 = ck_r[k - 1]
+                vel_m1 = ck_vel[k - 1]
+                cum_m1 = ck_cum[k - 1]
+                r_m = ck_odd_r[k - 1]
+                vel_m = ck_odd_vel[k - 1]
+                rho_h1 = (cum_m1 - r_m1) - cum_a + r_a   # visits a..mid
+                rho_h2 = s_rho - cum_m1 + r_m1           # visits mid+1..i
+                # forward: tleft=H1, tright=H2 (ref :596-613)
+                fl = _uturn_generalised(rho_h1 + r_m1, vel_a, vel_m1)
+                fr = _uturn_generalised(r_m + rho_h2, vel_m, vel_new)
+                # backward: tree order flips the halves
+                bl = _uturn_generalised(rho_h2 + r_m, vel_new, vel_m)
+                br = _uturn_generalised(r_m1 + rho_h1, vel_m1, vel_a)
+                turn_k = turn_k | jnp.where(fwd, fl | fr, bl | br)
+            turn_here = turn_here | (active & turn_k)
+        s_turning = s_turning | turn_here
+        s_diverged = s_diverged | diverging
+
+        # --- store checkpoints ---
+        tz_i = trailing_zeros(jnp.maximum(i, 1))
+        slot_even = jnp.where(i == 0, max_depth - 1, jnp.minimum(tz_i, max_depth - 1))
+        slot_odd = jnp.minimum(trailing_zeros(i + 1), max_depth - 1)
+
+        def upd(buf, slot, vec, pred):
+            row = jax.lax.dynamic_index_in_dim(buf, slot, keepdims=False)
+            new_row = jnp.where(pred, vec, row)
+            return jax.lax.dynamic_update_index_in_dim(buf, new_row, slot, 0)
+
+        ck_theta = upd(ck_theta, slot_even, z_new.theta, i_even)
+        ck_r = upd(ck_r, slot_even, z_new.r, i_even)
+        ck_vel = upd(ck_vel, slot_even, vel_new, i_even)
+        ck_cum = upd(ck_cum, slot_even, s_rho, i_even)
+        ck_odd_r = upd(ck_odd_r, slot_odd, z_new.r, jnp.logical_not(i_even))
+        ck_odd_vel = upd(ck_odd_vel, slot_odd, vel_new, jnp.logical_not(i_even))
+
+        # --- is the current doubling finished? ---
+        n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), st["depth"])
+        sub_done = s_turning | s_diverged
+        complete = sub_done | (i >= n_leaves - 1)
+
+        # ---------- top-level merge (masked; ref transition :691-723) ----------
+        not_term = jnp.logical_not(sub_done)
+        # subtree tree-order edges
+        s_zleft = _where_z(fwd, s_zfirst, z_new)
+        s_zright = _where_z(fwd, z_new, s_zfirst)
+        s_vleft = jnp.where(fwd, s_vfirst, vel_new)
+        s_vright = jnp.where(fwd, vel_new, s_vfirst)
+
+        # biased progressive sampling (ref mh_accept :202-206, used at :710-712)
+        if ts == SLICE:
+            u_mh = jax.random.uniform(k_mh, dtype=dtype)
+            mh_take = st["t_w"] * u_mh < s_w
+        else:
+            e_mh = rand_exponential(k_mh, dtype=dtype)
+            mh_take = st["t_w"] < s_w + e_mh
+        zcand = _where_z(complete & not_term & mh_take, s_zcand, st["zcand"])
+
+        # combined tree (ref combine :533-542, always performed :714-715)
+        c_zleft = _where_z(fwd, st["t_zleft"], s_zleft)
+        c_zright = _where_z(fwd, s_zright, st["t_zright"])
+        c_vleft = jnp.where(fwd, st["t_vleft"], s_vleft)
+        c_vright = jnp.where(fwd, s_vright, st["t_vright"])
+        c_rho = st["t_rho"] + s_rho
+
+        # full-tree U-turn check on the combined tree (ref :719-722)
+        if is_classic:
+            dtheta_c = c_zright.theta - c_zleft.theta
+            full_turn = _uturn_classic(dtheta_c, c_vleft, c_vright)
+        else:
+            full_turn = _uturn_generalised(c_rho, c_vleft, c_vright)
+        if is_strict:
+            # tleft/tright in tree order: forward → (old tree, subtree)
+            tl_rho = jnp.where(fwd, st["t_rho"], s_rho)
+            tr_rho = jnp.where(fwd, s_rho, st["t_rho"])
+            tr_zleft_r = jnp.where(fwd, s_zleft.r, st["t_zleft"].r)
+            tr_vleft = jnp.where(fwd, s_vleft, st["t_vleft"])
+            tl_zright_r = jnp.where(fwd, st["t_zright"].r, s_zright.r)
+            tl_vright = jnp.where(fwd, st["t_vright"], s_vright)
+            sl = _uturn_generalised(tl_rho + tr_zleft_r, c_vleft, tr_vleft)
+            sr = _uturn_generalised(tl_zright_r + tr_rho, tl_vright, c_vright)
+            full_turn = full_turn | sl | sr
+
+        if ts == SLICE:
+            c_w = st["t_w"] + s_w
+        else:
+            c_w = jnp.logaddexp(st["t_w"], s_w)
+
+        depth_new = st["depth"] + jnp.where(complete & not_term, 1, 0)
+        turning_new = st["turning"] | (complete & (s_turning | full_turn))
+        diverged_new = st["diverged"] | (complete & s_diverged)
+        done_new = (
+            (complete & (sub_done | full_turn))
+            | (depth_new >= max_depth)
+        )
+
+        sel = lambda p, a, b: jnp.where(p, a, b)
+        out = dict(
+            key=key,
+            t_zleft=_where_z(complete, c_zleft, st["t_zleft"]),
+            t_zright=_where_z(complete, c_zright, st["t_zright"]),
+            t_vleft=sel(complete, c_vleft, st["t_vleft"]),
+            t_vright=sel(complete, c_vright, st["t_vright"]),
+            t_rho=sel(complete, c_rho, st["t_rho"]),
+            zcand=zcand,
+            t_w=sel(complete, c_w, st["t_w"]),
+            sum_alpha=st["sum_alpha"] + sel(complete, s_sum_alpha, 0.0),
+            n_alpha=st["n_alpha"] + sel(complete, s_n_alpha, 0),
+            dh_max=sel(complete, maxabs(st["dh_max"], s_dh_max), st["dh_max"]),
+            depth=depth_new,
+            turning=turning_new,
+            diverged=diverged_new,
+            done=done_new,
+            v=v,
+            leaf=sel(complete, 0, i + 1),
+            z_edge=z_new,
+            v_edge=vel_new,
+            s_zfirst=s_zfirst,
+            s_vfirst=s_vfirst,
+            s_rho=s_rho,
+            s_w=sel(complete, sub_w0, s_w),
+            s_zcand=s_zcand,
+            s_sum_alpha=sel(complete, 0.0, s_sum_alpha),
+            s_n_alpha=sel(complete, 0, s_n_alpha),
+            s_dh_max=sel(complete, 0.0, s_dh_max),
+            s_turning=sel(complete, False, s_turning),
+            s_diverged=sel(complete, False, s_diverged),
+            ck_theta=ck_theta,
+            ck_r=ck_r,
+            ck_vel=ck_vel,
+            ck_cum=ck_cum,
+            ck_odd_r=ck_odd_r,
+            ck_odd_vel=ck_odd_vel,
+        )
+        return out
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    zcand = final["zcand"]
+    h_cand = zcand.energy()
+    n_alpha = final["n_alpha"]
+    stats = {
+        "n_steps": n_alpha,
+        "is_accept": jnp.asarray(True),
+        "acceptance_rate": final["sum_alpha"]
+        / jnp.maximum(n_alpha.astype(dtype), 1.0),
+        "log_density": zcand.logdensity,
+        "hamiltonian_energy": h_cand,
+        "hamiltonian_energy_error": h_cand - h0,
+        "max_hamiltonian_energy_error": final["dh_max"],
+        "tree_depth": final["depth"],
+        "numerical_error": final["diverged"],
+        "step_size": integ.current_step_size,
+        "nom_step_size": integ.nom_step_size,
+    }
+    return zcand, stats

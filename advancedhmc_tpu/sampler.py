@@ -1,0 +1,263 @@
+"""Sampling loop: vmapped chains under `lax.scan`, functional adaptation.
+
+TPU-native redesign of /root/reference/src/sampler.jl and the AbstractMCMC
+state machine (/root/reference/src/abstractmcmc.jl):
+
+* `HMCState` is the complete resumable snapshot — iteration, phase points,
+  metric, adaptor state, PRNG key (≅ `HMCState`,
+  /root/reference/src/abstractmcmc.jl:11-27). One pytree, trivially
+  checkpointable.
+* `sample_step` is the per-iteration transition + adaptation
+  (≅ /root/reference/src/sampler.jl:48-58,182-193): jitter → refresh →
+  trajectory transition → adapt. The chain batch is a leading axis; the
+  single-chain kernel is vmapped, so the reference's whole vector/matrix-mode
+  dual code path disappears.
+* Warmup/draw phases run as two `lax.scan`s (warmup optionally discards
+  outputs — the reference's `drop_warmup`, sampler.jl:174,224-227).
+* Per-chain adaptation (reference semantics) vmaps the adaptor update;
+  cross-chain adaptation (new capability) folds the whole chain batch into
+  shared Welford/dual-averaging state — under jit with the chain axis sharded
+  over a device mesh, XLA lowers the reductions to psums over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .adaptation import (
+    AdaptState,
+    AdaptorConfig,
+    NONE,
+    adapt_flags,
+    adapt_step,
+    adapt_step_batch,
+)
+from .hamiltonian import Hamiltonian, PhasePoint
+from .kinetic import GaussianKinetic
+from .metrics import Metric
+from .nuts import nuts_transition
+from .stepsize_search import find_good_stepsize
+from .target import LogDensityTarget
+from .termination import DynamicTerminationCriterion
+from .trajectory import HMCKernel, transition_static
+
+
+class HMCState(struct.PyTreeNode):
+    """Complete resumable sampler state (≅ abstractmcmc.jl:11-27)."""
+
+    iteration: jnp.ndarray
+    z: PhasePoint          # leaves have leading chain axis (C, ...)
+    metric: Metric         # shared, or per-chain leaves (C, ...)
+    adapt: AdaptState      # shared, or per-chain leaves
+    key: jnp.ndarray
+
+    @property
+    def position(self):
+        return self.z.theta
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleSpec:
+    """Static configuration closed over by the compiled step."""
+
+    target: LogDensityTarget
+    kernel: HMCKernel          # template; step size overridden per step
+    adaptor: AdaptorConfig
+    cross_chain: bool = False
+    kinetic: Any = GaussianKinetic()
+
+    def __hash__(self):
+        return hash((self.target, id(self.kernel), self.adaptor,
+                     self.cross_chain, self.kinetic))
+
+
+def _one_chain_transition(spec: SampleSpec, key, metric, eps, z):
+    """jitter → refresh → trajectory transition (ref sampler.jl:48-58)."""
+    h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
+    k_jit, k_ref, k_tr = jax.random.split(key, 3)
+    integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
+    integ = integ.jitter(k_jit)
+    traj = spec.kernel.trajectory.replace(integrator=integ)
+    z = spec.kernel.refreshment.refresh(k_ref, h, z)
+    if isinstance(traj.criterion, DynamicTerminationCriterion):
+        return nuts_transition(k_tr, h, traj, z)
+    return transition_static(k_tr, h, traj, z)
+
+
+def sample_step(spec: SampleSpec, state: HMCState, flags) -> tuple:
+    """One full (transition + adaptation) step over the chain batch."""
+    cfg = spec.adaptor
+    per_chain = not spec.cross_chain
+    n_chains = state.z.theta.shape[0]
+
+    key, k_step = jax.random.split(state.key)
+    keys = jax.random.split(k_step, n_chains)
+
+    batch_axis = 0 if per_chain else None
+    z_new, stats = jax.vmap(
+        lambda k, m, e, z: _one_chain_transition(spec, k, m, e, z),
+        in_axes=(0, batch_axis, batch_axis, 0),
+    )(keys, state.metric, state.adapt.da.eps, state.z)
+
+    alpha = stats["acceptance_rate"]
+    if spec.cross_chain:
+        adapt_new = adapt_step_batch(
+            cfg, state.adapt, z_new.theta, z_new.grad, alpha, flags
+        )
+    else:
+        adapt_new = jax.vmap(
+            lambda st, th, g, a: adapt_step(cfg, st, th, g, a, flags)
+        )(state.adapt, z_new.theta, z_new.grad, alpha)
+
+    metric = state.metric
+    if cfg.uses_mm:
+        m_inv = adapt_new.mm.m_inv
+        if per_chain:
+            renewed = jax.vmap(lambda m, mi: m.renew(mi), in_axes=(0, 0))(
+                state.metric, m_inv
+            )
+        else:
+            renewed = state.metric.renew(m_inv)
+        metric = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(flags["is_adapt"], a, b), renewed, state.metric
+        )
+
+    stats = dict(stats)
+    stats["is_adapt"] = jnp.broadcast_to(flags["is_adapt"], alpha.shape)
+
+    new_state = HMCState(
+        iteration=state.iteration + 1,
+        z=z_new,
+        metric=metric,
+        adapt=adapt_new,
+        key=key,
+    )
+    return new_state, stats
+
+
+def init_state(
+    key,
+    spec: SampleSpec,
+    metric: Metric,
+    init_theta,
+    init_eps=None,
+    n_chains: Optional[int] = None,
+) -> HMCState:
+    """Build the initial batched HMCState (≅ sample_init, sampler.jl:36-46,
+    plus the first-step factory path of abstractmcmc.jl:131-166)."""
+    theta = jnp.asarray(init_theta)
+    if theta.ndim == 1:
+        if n_chains is None:
+            n_chains = 1
+        theta = jnp.broadcast_to(theta[None, :], (n_chains, theta.shape[-1]))
+    n_chains = theta.shape[0]
+    dtype = theta.dtype
+
+    key, k_eps, k_mom = jax.random.split(key, 3)
+    h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
+
+    if init_eps is None:
+        # ≅ make_step_size → find_good_stepsize (abstractmcmc.jl:310-354)
+        eps0 = find_good_stepsize(k_eps, h, theta[0])
+    else:
+        eps0 = jnp.asarray(init_eps, dtype)
+
+    mom_keys = jax.random.split(k_mom, n_chains)
+    z = jax.vmap(h.init_phasepoint, in_axes=(0, 0))(mom_keys, theta)
+
+    adapt = AdaptState.init(spec.adaptor, spec.target.dim, eps0, dtype)
+    if not spec.cross_chain:
+        # per-chain adaptor state + metric: broadcast along the chain axis
+        adapt = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)), adapt
+        )
+        metric = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)), metric
+        )
+
+    return HMCState(
+        iteration=jnp.zeros((), jnp.int32),
+        z=z,
+        metric=metric,
+        adapt=adapt,
+        key=key,
+    )
+
+
+@dataclasses.dataclass
+class SampleResult:
+    """Draws + per-transition statistics + final resumable state."""
+
+    thetas: jnp.ndarray          # (n_kept, n_chains, dim)
+    stats: Dict[str, jnp.ndarray]  # each (n_kept, n_chains)
+    warmup_stats: Optional[Dict[str, jnp.ndarray]]
+    final_state: HMCState
+
+    @property
+    def n_chains(self):
+        return self.thetas.shape[1]
+
+
+def sample(
+    key,
+    target: LogDensityTarget,
+    kernel: HMCKernel,
+    metric: Metric,
+    init_theta,
+    n_samples: int,
+    n_adapts: Optional[int] = None,
+    adaptor: AdaptorConfig = AdaptorConfig(kind=NONE),
+    init_eps=None,
+    n_chains: Optional[int] = None,
+    cross_chain: bool = False,
+    drop_warmup: bool = False,
+    collect_warmup_stats: bool = True,
+) -> SampleResult:
+    """Sample `n_samples` total iterations (first `n_adapts` adapting).
+
+    Mirrors `sample` (/root/reference/src/sampler.jl:159-248) including the
+    default n_adapts = min(n_samples ÷ 10, 1000) (sampler.jl:115,166).
+    """
+    if n_adapts is None:
+        n_adapts = min(n_samples // 10, 1000)
+    if adaptor.kind == NONE:
+        n_adapts = 0
+        if drop_warmup:
+            raise ValueError("cannot drop warmup without adaptation")
+
+    spec = SampleSpec(
+        target=target, kernel=kernel, adaptor=adaptor, cross_chain=cross_chain
+    )
+    state = init_state(key, spec, metric, init_theta, init_eps, n_chains)
+
+    flags = adapt_flags(adaptor, n_adapts, n_samples)
+
+    def step_collect(state, per_iter_flags):
+        new_state, stats = sample_step(spec, state, per_iter_flags)
+        return new_state, (new_state.z.theta, stats)
+
+    def step_stats_only(state, per_iter_flags):
+        new_state, stats = sample_step(spec, state, per_iter_flags)
+        return new_state, stats
+
+    n_keep = n_samples - (n_adapts if drop_warmup else 0)
+    warmup_stats = None
+    if drop_warmup and n_adapts > 0:
+        warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
+        draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
+        warm_step = step_stats_only if collect_warmup_stats else (
+            lambda s, f: (sample_step(spec, s, f)[0], None)
+        )
+        state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
+        state, (thetas, stats) = jax.lax.scan(step_collect, state, draw_flags)
+    else:
+        state, (thetas, stats) = jax.lax.scan(step_collect, state, flags)
+
+    return SampleResult(
+        thetas=thetas, stats=stats, warmup_stats=warmup_stats, final_state=state
+    )

@@ -1,0 +1,25 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Mirrors the multi-device testing strategy recommended in SURVEY.md §4.10: no
+TPU pod is available in CI, so sharding behaviour is validated on
+`--xla_force_host_platform_device_count=8` host devices.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The container's sitecustomize registers the axon (TPU-tunnel) backend and
+# overrides jax_platforms, so the env var alone is not enough — force CPU via
+# the config API before any backend is initialised.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
