@@ -73,11 +73,16 @@ def _uturn_classic(dtheta_tree, vel_l, vel_r):
     return (jnp.dot(dtheta_tree, vel_l) <= 0) | (jnp.dot(dtheta_tree, vel_r) <= 0)
 
 
-def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint):
+def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
+                    force_directions=None, return_debug=False):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
     whose ts_kind is 'multinomial' or 'slice'.
+
+    Test hooks: `force_directions` (max_depth,) array of ±1 overrides the
+    per-doubling direction draw (used by the recursion-oracle tests);
+    `return_debug` additionally returns the final loop state.
     """
     criterion = traj.criterion
     assert isinstance(criterion, DynamicTerminationCriterion)
@@ -157,7 +162,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint):
         start = st["leaf"] == 0
 
         # --- begin a new doubling: draw direction, pick edge, reset subtree ---
-        v = jnp.where(start, rand_sign(k_dir), st["v"])
+        if force_directions is None:
+            v_draw = rand_sign(k_dir)
+        else:
+            v_draw = jnp.asarray(force_directions, jnp.int32)[
+                jnp.minimum(st["depth"], max_depth - 1)
+            ]
+        v = jnp.where(start, v_draw, st["v"])
         fwd = v > 0
         z_start_edge = _where_z(fwd, st["t_zright"], st["t_zleft"])
         v_start_edge = jnp.where(fwd, st["t_vright"], st["t_vleft"])
@@ -386,4 +397,6 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint):
         "step_size": integ.current_step_size,
         "nom_step_size": integ.nom_step_size,
     }
+    if return_debug:
+        return zcand, stats, final
     return zcand, stats

@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Match the reference's Float64-default numerics in tests (the reference is
+# Julia/Float64; TPU bench runs exercise the Float32 path separately).
+jax.config.update("jax_enable_x64", True)
 
 import sys
 
