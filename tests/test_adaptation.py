@@ -1,0 +1,122 @@
+"""Adaptation tests ≅ /root/reference/test/adaptation.jl."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from advancedhmc_tpu.adaptation import (
+    DualAveragingConfig,
+    DualAveragingState,
+    NutpieVarState,
+    WelfordCovState,
+    WelfordVarState,
+    da_update,
+    stan_schedule,
+)
+
+
+def test_stan_window_splits_exact():
+    """n_adapts=1000 → splits exactly [100,150,250,450,950]
+    (≅ /root/reference/test/adaptation.jl:147-153)."""
+    in_window, window_end = stan_schedule(1000)
+    splits = (np.nonzero(window_end)[0] + 1).tolist()
+    assert splits == [100, 150, 250, 450, 950]
+    i = np.arange(1, 1001)
+    np.testing.assert_array_equal(in_window, (i >= 76) & (i <= 950))
+
+
+def test_stan_window_no_trailing_update():
+    """A split landing on n_adapts is dropped (ref stan_adaptor.jl:40-44)."""
+    for n in (100, 150, 1000, 5000, 37):
+        _, w_end = stan_schedule(n)
+        assert not w_end[-1]
+
+
+def test_welford_var_matches_numpy():
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(5000, 4)) * np.asarray([1.0, 2.0, 0.5, 3.0])
+    st = WelfordVarState.init(4, jnp.float64)
+    for x in xs[:200]:
+        st = st.push(jnp.asarray(x))
+    st = st.update_estimate()
+    n = 200
+    shrink = n / ((n + 5) * (n - 1))
+    expected = shrink * np.var(xs[:200], axis=0, ddof=0) * n + 1e-3 * (5 / (n + 5))
+    np.testing.assert_allclose(np.asarray(st.var), expected, rtol=1e-8)
+
+
+def test_welford_batch_equals_sequential():
+    """push_batch (cross-chain path) is algebraically exact."""
+    rng = np.random.default_rng(1)
+    xs = rng.normal(size=(64, 6))
+    seq = WelfordVarState.init(6, jnp.float64)
+    for x in xs:
+        seq = seq.push(jnp.asarray(x))
+    bat = WelfordVarState.init(6, jnp.float64)
+    bat = bat.push_batch(jnp.asarray(xs[:40]))
+    bat = bat.push_batch(jnp.asarray(xs[40:]))
+    assert int(bat.n) == int(seq.n) == 64
+    np.testing.assert_allclose(np.asarray(bat.mean), np.asarray(seq.mean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(bat.m2), np.asarray(seq.m2), rtol=1e-10)
+
+
+def test_welford_cov_matches_numpy():
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(3, 3))
+    xs = rng.normal(size=(400, 3)) @ a.T
+    st = WelfordCovState.init(3, jnp.float64)
+    for x in xs:
+        st = st.push(jnp.asarray(x))
+    st = st.update_estimate()
+    n = len(xs)
+    shrink = n / ((n + 5) * (n - 1))
+    expected = shrink * np.cov(xs.T, ddof=0) * n + 1e-3 * (5 / (n + 5)) * np.eye(3)
+    np.testing.assert_allclose(np.asarray(st.cov), expected, rtol=1e-8)
+    bat = WelfordCovState.init(3, jnp.float64).push_batch(jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(bat.m2), np.asarray(st.m2), rtol=1e-9)
+
+
+def test_nutpie_estimate():
+    """var = sqrt(var(θ)/var(∇)) (ref massmatrix.jl:246-250). For a Gaussian
+    with variance σ², grad = -θ/σ² so the estimate → σ² exactly."""
+    rng = np.random.default_rng(3)
+    sigma2 = np.asarray([0.5, 2.0, 4.0])
+    thetas = rng.normal(size=(2000, 3)) * np.sqrt(sigma2)
+    grads = -thetas / sigma2
+    st = NutpieVarState.init(3, jnp.float64)
+    st = st.push_batch(jnp.asarray(thetas), jnp.asarray(grads))
+    st = st.update_estimate()
+    np.testing.assert_allclose(np.asarray(st.var), sigma2, rtol=0.1)
+
+
+def test_dual_averaging_converges_to_target():
+    """Feed α as a decreasing function of ϵ: DA should settle where α≈δ
+    (Stan-equivalent update, ref stepsize.jl:178-210)."""
+    cfg = DualAveragingConfig(delta=0.8)
+    st = DualAveragingState.init(jnp.asarray(1.0, jnp.float64))
+    for _ in range(500):
+        alpha = float(np.exp(-float(st.eps)))  # α(ϵ)=e^{-ϵ}; α=0.8 at ϵ≈0.223
+        st = da_update(cfg, st, jnp.asarray(alpha))
+    st = st.finalize()
+    assert abs(float(st.eps) - 0.223) < 0.05
+
+
+def test_dual_averaging_nonfinite_revert():
+    cfg = DualAveragingConfig(delta=0.8)
+    st = DualAveragingState.init(jnp.asarray(1.0, jnp.float64))
+    st1 = da_update(cfg, st, jnp.asarray(0.5))
+    st2 = da_update(cfg, st1, jnp.asarray(jnp.nan))
+    # NaN α → non-finite ϵ → full revert (ref stepsize.jl:199-203)
+    assert float(st2.eps) == float(st1.eps)
+    assert int(st2.m) == int(st1.m)
+
+
+def test_dual_averaging_vectorised():
+    """Per-chain ϵ vector mode (ref stepsize.jl:32-36)."""
+    cfg = DualAveragingConfig(delta=0.8)
+    st = DualAveragingState.init(jnp.ones(3, jnp.float64))
+    st = da_update(cfg, st, jnp.asarray([0.2, 0.8, 1.0]))
+    eps = np.asarray(st.eps)
+    assert eps.shape == (3,)
+    assert eps[0] < eps[1] <= eps[2]

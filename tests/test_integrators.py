@@ -1,0 +1,106 @@
+"""Integrator tests ≅ /root/reference/test/integrator.jl."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advancedhmc_tpu import (
+    DiagEuclideanMetric,
+    Hamiltonian,
+    JitteredLeapfrog,
+    Leapfrog,
+    LogDensityTarget,
+    TemperedLeapfrog,
+    UnitEuclideanMetric,
+    leapfrog_step,
+    leapfrog_steps,
+    leapfrog_trajectory,
+)
+
+
+def _h1d():
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2), 1)
+    return Hamiltonian(metric=UnitEuclideanMetric(size=1, _dtype=jnp.float64),
+                       target=target)
+
+
+def test_leapfrog_phase_circle():
+    """1-D Gaussian: leapfrog tracks the analytic rotation with stable H
+    (Neal Eq 2.11; ≅ /root/reference/test/integrator.jl:115-155)."""
+    h = _h1d()
+    eps = 0.1
+    z = h.phasepoint(jnp.asarray([1.0]), jnp.asarray([0.0]))
+    integ = Leapfrog(step_size=jnp.asarray(eps, jnp.float64))
+    e0 = float(z.energy())
+    for i in range(200):
+        z = leapfrog_step(integ, h, z, eps)
+        t = (i + 1) * eps
+        # Analytic solution of the exact dynamics: θ(t)=cos t, r(t)=-sin t.
+        assert abs(float(z.theta[0]) - np.cos(t)) < 0.05
+        assert abs(float(z.r[0]) + np.sin(t)) < 0.05
+        assert abs(float(z.energy()) - e0) < 3e-3  # O(ϵ²) energy oscillation
+
+
+def test_leapfrog_reversibility():
+    h = _h1d()
+    integ = Leapfrog(step_size=jnp.asarray(0.2, jnp.float64))
+    z = h.phasepoint(jnp.asarray([0.7]), jnp.asarray([0.3]))
+    z_fwd = leapfrog_steps(integ, h, z, 25, fwd=True)
+    z_back = leapfrog_steps(integ, h, z_fwd, 25, fwd=False)
+    np.testing.assert_allclose(np.asarray(z_back.theta), np.asarray(z.theta), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(z_back.r), np.asarray(z.r), atol=1e-10)
+
+
+def test_tempering_schedule_exact():
+    """Tempering multiplier schedule (≅ /root/reference/test/integrator.jl:86-103):
+    half-temper counter i_temper = 2(i-1)+1+!is_half (1-indexed); scale up
+    sqrt(α) while i_temper ≤ n_steps else down 1/sqrt(α)
+    (ref integrator.jl:198-209)."""
+    alpha = 1.21
+    integ = TemperedLeapfrog(step_size=jnp.asarray(0.1), alpha=alpha)
+    sq = np.sqrt(alpha)
+    n_steps = 3
+    expect = []
+    for i in range(n_steps):  # 0-indexed
+        for is_half in (True, False):
+            i_temper = 2 * i + 1 + (0 if is_half else 1)
+            expect.append(sq if i_temper <= n_steps else 1 / sq)
+    got = []
+    for i in range(n_steps):
+        got.append(float(integ.temper_scale(i, True, n_steps)))
+        got.append(float(integ.temper_scale(i, False, n_steps)))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_jitter_bounds():
+    """ϵ ∈ [ϵ0(1-j), ϵ0(1+j)] (ref integrator.jl:140-156)."""
+    integ = JitteredLeapfrog.create(jnp.asarray(0.5, jnp.float64), 0.2)
+    eps = []
+    for s in range(200):
+        j = integ.jitter(jax.random.PRNGKey(s))
+        eps.append(float(j.current_step_size))
+        assert float(j.nom_step_size) == 0.5
+    eps = np.asarray(eps)
+    assert eps.min() >= 0.5 * 0.8 - 1e-9 and eps.max() <= 0.5 * 1.2 + 1e-9
+    assert eps.std() > 0.01
+
+
+def test_nonfinite_abort():
+    """Trajectory stops after first non-finite point, which is kept with -Inf
+    log density (ref integrator.jl:249-258, hamiltonian.jl:93-106)."""
+    target = LogDensityTarget(
+        lambda x: jnp.where(jnp.abs(x[0]) > 2.0, jnp.nan, -0.5 * x[0] ** 2), 1
+    )
+    h = Hamiltonian(metric=UnitEuclideanMetric(size=1, _dtype=jnp.float64),
+                    target=target)
+    integ = Leapfrog(step_size=jnp.asarray(1.0, jnp.float64))
+    z = h.phasepoint(jnp.asarray([1.5]), jnp.asarray([2.0]))
+    zs, taken = leapfrog_trajectory(integ, h, z, 10)
+    taken = np.asarray(taken)
+    # At least one step beyond the wall is untaken
+    assert not taken.all()
+    first_bad = int(np.argmin(taken)) - 1  # last taken index
+    z_final = leapfrog_steps(integ, h, z, 10)
+    assert float(z_final.logdensity) == -np.inf

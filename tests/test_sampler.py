@@ -1,0 +1,196 @@
+"""Statistical correctness lattice ≅ /root/reference/test/sampler.jl.
+
+A (reduced) cartesian product of metric × integrator × trajectory × adaptor
+sampling a 5-D standard Gaussian; posterior mean must be ≈ 0 within the
+reference's stochastic tolerance RNDATOL (= 5e-2·D·2 = 0.5,
+/root/reference/test/common.jl:12). Chains are pooled, so the check is in
+practice much tighter.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advancedhmc_tpu import (
+    AdaptorConfig,
+    ClassicNoUTurn,
+    DualAveragingConfig,
+    FixedIntegrationTime,
+    FixedNSteps,
+    GeneralisedNoUTurn,
+    HMCKernel,
+    JitteredLeapfrog,
+    Leapfrog,
+    LogDensityTarget,
+    StrictGeneralisedNoUTurn,
+    TemperedLeapfrog,
+    Trajectory,
+    make_metric,
+    sample,
+)
+from advancedhmc_tpu.adaptation import MM_WELFORD_VAR, NONE, STAN, STEPSIZE
+
+D = 5
+RNDATOL = 5e-2 * D * 2
+
+TARGET = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2), D)
+
+
+def _run(kernel, metric_kind, adaptor, n=2000, n_adapts=0, seed=0, **kw):
+    metric = make_metric(metric_kind, D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(seed),
+        TARGET,
+        kernel,
+        metric,
+        jnp.zeros(D, jnp.float64),
+        n,
+        n_adapts=n_adapts,
+        adaptor=adaptor,
+        init_eps=kw.pop("init_eps", None),
+        n_chains=4,
+    )
+    burn = max(n_adapts, n // 10)
+    draws = np.asarray(res.thetas[burn:]).reshape(-1, D)
+    return draws, res
+
+
+def _leapfrog(eps=0.25):
+    return Leapfrog(step_size=jnp.asarray(eps, jnp.float64))
+
+
+NO_ADAPT = AdaptorConfig(kind=NONE)
+STAN_ADAPT = AdaptorConfig(kind=STAN, mm_kind=MM_WELFORD_VAR,
+                           da=DualAveragingConfig(delta=0.8))
+
+CASES = {
+    "endpoint_unit": (
+        HMCKernel(Trajectory(_leapfrog(), FixedNSteps(10), "endpoint")),
+        "unit", NO_ADAPT, 0,
+    ),
+    "endpoint_diag": (
+        HMCKernel(Trajectory(_leapfrog(), FixedNSteps(10), "endpoint")),
+        "diagonal", NO_ADAPT, 0,
+    ),
+    "endpoint_dense": (
+        HMCKernel(Trajectory(_leapfrog(), FixedNSteps(10), "endpoint")),
+        "dense", NO_ADAPT, 0,
+    ),
+    "multinomial_static": (
+        HMCKernel(Trajectory(_leapfrog(), FixedNSteps(10), "multinomial")),
+        "diagonal", NO_ADAPT, 0,
+    ),
+    "fixed_time_endpoint": (
+        HMCKernel(Trajectory(_leapfrog(), FixedIntegrationTime(2.5, 64), "endpoint")),
+        "diagonal", NO_ADAPT, 0,
+    ),
+    "jittered": (
+        HMCKernel(Trajectory(JitteredLeapfrog.create(jnp.asarray(0.25, jnp.float64), 0.5),
+                             FixedNSteps(10), "endpoint")),
+        "diagonal", NO_ADAPT, 0,
+    ),
+    "tempered": (
+        HMCKernel(Trajectory(TemperedLeapfrog(step_size=jnp.asarray(0.25, jnp.float64),
+                                              alpha=1.05),
+                             FixedNSteps(10), "endpoint")),
+        "diagonal", NO_ADAPT, 0,
+    ),
+    "nuts_mult_generalised_stan": (
+        HMCKernel(Trajectory(_leapfrog(), GeneralisedNoUTurn(), "multinomial")),
+        "diagonal", STAN_ADAPT, 500,
+    ),
+    "nuts_mult_strict_stan": (
+        HMCKernel(Trajectory(_leapfrog(), StrictGeneralisedNoUTurn(), "multinomial")),
+        "diagonal", STAN_ADAPT, 500,
+    ),
+    "nuts_slice_classic": (
+        HMCKernel(Trajectory(_leapfrog(0.35), ClassicNoUTurn(), "slice")),
+        "unit", NO_ADAPT, 0,
+    ),
+    "nuts_mult_dense_stan": (
+        HMCKernel(Trajectory(_leapfrog(), GeneralisedNoUTurn(), "multinomial")),
+        "dense",
+        AdaptorConfig(kind=STAN, mm_kind="welford_cov"),
+        500,
+    ),
+    "hmcda_style": (
+        HMCKernel(Trajectory(_leapfrog(), FixedIntegrationTime(2.0, 64), "endpoint")),
+        "diagonal", AdaptorConfig(kind=STEPSIZE), 500,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_five_d_gaussian_mean(name):
+    kernel, metric_kind, adaptor, n_adapts = CASES[name]
+    draws, res = _run(kernel, metric_kind, adaptor, n=2000, n_adapts=n_adapts,
+                      seed=hash(name) % 2**31)
+    mean = draws.mean(axis=0)
+    assert np.linalg.norm(mean) < RNDATOL, mean
+    var = draws.var(axis=0)
+    np.testing.assert_allclose(var, np.ones(D), atol=0.35)
+
+
+def test_stat_names_present():
+    """Per-transition stat names are API surface
+    (≅ /root/reference/test/sampler.jl:9-52)."""
+    kernel, metric_kind, adaptor, n_adapts = CASES["nuts_mult_generalised_stan"]
+    _, res = _run(kernel, metric_kind, adaptor, n=50, n_adapts=20, seed=7)
+    expected = {
+        "n_steps", "is_accept", "acceptance_rate", "log_density",
+        "hamiltonian_energy", "hamiltonian_energy_error",
+        "max_hamiltonian_energy_error", "tree_depth", "numerical_error",
+        "step_size", "nom_step_size", "is_adapt",
+    }
+    assert expected <= set(res.stats)
+    static_kernel, mk, ad, _ = CASES["endpoint_diag"]
+    _, res2 = _run(static_kernel, mk, ad, n=50, seed=8)
+    assert {
+        "n_steps", "is_accept", "acceptance_rate", "log_density",
+        "hamiltonian_energy", "hamiltonian_energy_error", "numerical_error",
+        "step_size", "nom_step_size", "is_adapt",
+    } <= set(res2.stats)
+
+
+def test_adapted_variance_close_to_true():
+    """Adapted diagonal M⁻¹ ≈ target variance, rtol 0.25
+    (≅ /root/reference/test/adaptation.jl:173-196)."""
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(_leapfrog(), GeneralisedNoUTurn(), "multinomial"))
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(11), target, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1500, n_adapts=1000,
+        adaptor=STAN_ADAPT, n_chains=4,
+    )
+    m_inv = np.asarray(res.final_state.metric.m_inv)  # (chains, D)
+    np.testing.assert_allclose(m_inv.mean(axis=0), np.asarray(scales), rtol=0.35)
+
+
+def test_reproducibility():
+    """Same seed ⇒ identical chains (≅ /root/reference/test/trajectory.jl:125-141)."""
+    kernel, metric_kind, adaptor, n_adapts = CASES["nuts_mult_generalised_stan"]
+    d1, _ = _run(kernel, metric_kind, adaptor, n=300, n_adapts=100, seed=42)
+    d2, _ = _run(kernel, metric_kind, adaptor, n=300, n_adapts=100, seed=42)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_cross_chain_adaptation():
+    """Cross-chain shared adaptation converges and matches true variance."""
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(_leapfrog(), GeneralisedNoUTurn(), "multinomial"))
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(12), target, kernel, metric,
+        jnp.zeros(D, jnp.float64), 800, n_adapts=500,
+        adaptor=STAN_ADAPT, n_chains=8, cross_chain=True,
+    )
+    m_inv = np.asarray(res.final_state.metric.m_inv)  # shared (D,)
+    assert m_inv.shape == (D,)
+    np.testing.assert_allclose(m_inv, np.asarray(scales), rtol=0.35)
+    draws = np.asarray(res.thetas[500:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
