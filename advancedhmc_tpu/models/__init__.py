@@ -1,0 +1,22 @@
+"""Target zoo: the models used by the reference's tests and the driver's
+baseline configs (BASELINE.md): MVN, correlated Gaussian, Neal's funnel,
+banana, gdemo, hierarchical logistic regression.
+"""
+
+from .gaussian import correlated_gaussian, mvn_diag, std_gaussian
+from .funnel import neal_funnel
+from .banana import banana
+from .gdemo import GDEMO_MEAN, gdemo
+from .logistic import german_credit_logistic, hierarchical_logistic
+
+__all__ = [
+    "std_gaussian",
+    "mvn_diag",
+    "correlated_gaussian",
+    "neal_funnel",
+    "banana",
+    "gdemo",
+    "GDEMO_MEAN",
+    "hierarchical_logistic",
+    "german_credit_logistic",
+]

@@ -1,0 +1,64 @@
+"""Hierarchical Bayesian logistic regression (BASELINE.md config 4).
+
+The driver's baseline names the German-credit task; this container has zero
+egress, so a fixed-seed synthetic design matrix with the same shape
+(1000 × 24 features, standardised) stands in. The model is the standard
+hierarchical form used in HMC benchmarks:
+
+    log σ ~ N(0, 1)          (global scale hyperparameter)
+    β_j   ~ N(0, σ²)         (regression weights)
+    y_i   ~ Bernoulli(logit⁻¹(x_iᵀ β))
+
+θ = (log σ, β₁..β_p), dim = p + 1. The likelihood is one (n × p)·(p,) matvec
+— with thousands of vmapped chains it becomes a (chains × p)·(p × n) matmul
+on the TPU MXU.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..target import LogDensityTarget
+
+
+@lru_cache(maxsize=None)
+def _synthetic_data(n: int, p: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, p))
+    x = (x - x.mean(0)) / x.std(0)
+    beta_true = rng.normal(size=(p,)) * 0.5
+    logits = x @ beta_true
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float64)
+    return x, y
+
+
+def hierarchical_logistic(
+    n: int = 1000, p: int = 24, seed: int = 0, dtype=jnp.float32
+) -> LogDensityTarget:
+    x_np, y_np = _synthetic_data(n, p, seed)
+    x = jnp.asarray(x_np, dtype)
+    y = jnp.asarray(y_np, dtype)
+    dim = p + 1
+
+    def logdensity(theta):
+        log_sigma = theta[0]
+        beta = theta[1:]
+        sigma2 = jnp.exp(2.0 * log_sigma)
+        lp = -0.5 * jnp.square(log_sigma)                       # log σ ~ N(0,1)
+        lp = lp - 0.5 * jnp.sum(jnp.square(beta)) / sigma2 - p * log_sigma
+        logits = x @ beta
+        # Bernoulli log likelihood: y·logit − log(1+e^logit), stable form
+        lp = lp + jnp.sum(y * logits - jnp.logaddexp(0.0, logits))
+        return lp
+
+    return LogDensityTarget(logdensity, dim)
+
+
+def german_credit_logistic(dtype=jnp.float32) -> LogDensityTarget:
+    """German-credit-shaped hierarchical logistic regression (synthetic data,
+    1000 rows × 24 features → 25 parameters)."""
+    return hierarchical_logistic(n=1000, p=24, seed=0, dtype=dtype)

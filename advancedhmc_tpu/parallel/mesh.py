@@ -1,0 +1,73 @@
+"""Device-mesh chain parallelism (the new native scale-out layer).
+
+The reference's only distribution story is independent chains via Julia
+threads/processes with zero inter-chain communication
+(/root/reference/src/abstractmcmc.jl:90-129; SURVEY.md §2.3). Here chains are
+a sharded array axis on a 1-D `chains` mesh: the vmapped transition partitions
+trivially (pure data parallel), and cross-chain adaptation reductions
+(Welford moments, dual-averaging mean α) are jnp reductions over the chain
+axis that XLA lowers to psum collectives over ICI/DCN — the GSPMD pattern, no
+hand-written NCCL/MPI analogue needed.
+
+Multi-host entry: call `jax.distributed.initialize()` before building the
+mesh; `mesh_of_all_devices` then spans the pod slice and the same code runs
+unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAIN_AXIS = "chains"
+
+
+def mesh_of_all_devices(n_devices: Optional[int] = None, axis_name: str = CHAIN_AXIS) -> Mesh:
+    """1-D mesh over (the first n) available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def chain_sharding(mesh: Mesh, axis_name: str = CHAIN_AXIS) -> NamedSharding:
+    """Shard the leading (chain) axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_hmc_state(state, mesh: Mesh, per_chain_adapt: bool, axis_name: str = CHAIN_AXIS):
+    """Place an HMCState on the mesh: chain-major leaves sharded along
+    `chains`, shared adaptation state and PRNG key replicated."""
+    p_chain = chain_sharding(mesh, axis_name)
+    p_rep = replicated(mesh)
+
+    def put_sharded(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, p_chain if getattr(x, "ndim", 0) >= 1 else p_rep),
+            tree,
+        )
+
+    def put_replicated(tree):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, p_rep), tree)
+
+    z = put_sharded(state.z)
+    if per_chain_adapt:
+        metric = put_sharded(state.metric)
+        adapt = put_sharded(state.adapt)
+    else:
+        metric = put_replicated(state.metric)
+        adapt = put_replicated(state.adapt)
+    return state.replace(
+        z=z,
+        metric=metric,
+        adapt=adapt,
+        key=jax.device_put(state.key, p_rep),
+        iteration=jax.device_put(state.iteration, p_rep),
+    )

@@ -217,6 +217,7 @@ def sample(
     cross_chain: bool = False,
     drop_warmup: bool = False,
     collect_warmup_stats: bool = True,
+    mesh=None,
 ) -> SampleResult:
     """Sample `n_samples` total iterations (first `n_adapts` adapting).
 
@@ -234,6 +235,13 @@ def sample(
         target=target, kernel=kernel, adaptor=adaptor, cross_chain=cross_chain
     )
     state = init_state(key, spec, metric, init_theta, init_eps, n_chains)
+
+    if mesh is not None:
+        # Shard the chain axis over the device mesh; XLA partitions the whole
+        # scan and inserts ICI collectives for cross-chain reductions.
+        from .parallel.mesh import shard_hmc_state
+
+        state = shard_hmc_state(state, mesh, per_chain_adapt=not cross_chain)
 
     flags = adapt_flags(adaptor, n_adapts, n_samples)
 

@@ -1,0 +1,101 @@
+"""Model-zoo posterior tests ≅ /root/reference/test/models.jl and
+abstractmcmc.jl posterior-mean checks."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from advancedhmc_tpu import NUTS, find_good_stepsize, Hamiltonian, make_metric
+from advancedhmc_tpu.models import (
+    GDEMO_MEAN,
+    banana,
+    correlated_gaussian,
+    gdemo,
+    german_credit_logistic,
+    neal_funnel,
+)
+from advancedhmc_tpu.models.gdemo import constrain
+
+RNDATOL = 0.5
+
+
+def test_gdemo_posterior_mean():
+    """gdemo posterior mean ≈ [49/24, 7/6]
+    (≅ /root/reference/test/models.jl:26-27)."""
+    target = gdemo()
+    res = NUTS(0.8).sample(
+        jax.random.PRNGKey(0), target, jnp.zeros(2, jnp.float64),
+        3000, n_adapts=1000, n_chains=4, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[1000:]).reshape(-1, 2)
+    cons = np.stack([np.exp(draws[:, 0]), draws[:, 1]], axis=-1)
+    s_mean, m_mean = cons.mean(axis=0)
+    assert abs(s_mean - GDEMO_MEAN[0]) < RNDATOL
+    assert abs(m_mean - GDEMO_MEAN[1]) < RNDATOL
+
+
+def test_funnel_v_moments():
+    """Neal's funnel: marginal v ~ N(0, 9)."""
+    target = neal_funnel(10)
+    res = NUTS(0.9, max_depth=10).sample(
+        jax.random.PRNGKey(1), target, jnp.zeros(10, jnp.float64),
+        4000, n_adapts=1500, n_chains=8, dtype=jnp.float64,
+    )
+    v = np.asarray(res.thetas[1500:, :, 0]).ravel()
+    # The funnel mixes slowly in v; tolerance reflects finite-run MC error.
+    assert abs(v.mean()) < 0.8
+    assert abs(v.std() - 3.0) < 0.9
+
+
+def test_correlated_gaussian_dense_metric():
+    """Correlated Gaussian with dense metric adaptation (BASELINE config 2)."""
+    target = correlated_gaussian(6, rho=0.8)
+    res = NUTS(0.8, metric="dense").sample(
+        jax.random.PRNGKey(2), target, jnp.zeros(6, jnp.float64),
+        2500, n_adapts=1000, n_chains=4, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[1000:]).reshape(-1, 6)
+    assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+    emp_cov = np.cov(draws.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(target.cov), atol=0.4)
+    # adapted dense M⁻¹ ≈ covariance (rtol 0.25 analog of reference)
+    m_inv = np.asarray(res.final_state.metric.m_inv).mean(axis=0)
+    np.testing.assert_allclose(np.diag(m_inv), np.diag(np.asarray(target.cov)),
+                               rtol=0.4)
+
+
+def test_banana_runs():
+    target = banana()
+    res = NUTS(0.8).sample(
+        jax.random.PRNGKey(3), target, jnp.zeros(2, jnp.float64),
+        2000, n_adapts=500, n_chains=4, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[500:]).reshape(-1, 2)
+    # θ1 marginal ~ N(0, 100)
+    assert abs(draws[:, 0].mean()) < 3.0
+    assert np.isfinite(draws).all()
+
+
+def test_logistic_sampling_finite():
+    target = german_credit_logistic(dtype=jnp.float64)
+    res = NUTS(0.8, max_depth=8).sample(
+        jax.random.PRNGKey(4), target, jnp.zeros(target.dim, jnp.float64),
+        400, n_adapts=200, n_chains=4, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[200:])
+    assert np.isfinite(draws).all()
+    assert float(np.asarray(res.stats["acceptance_rate"][200:]).mean()) > 0.5
+
+
+def test_find_good_stepsize_reasonable():
+    """Search lands in a region with one-step accept ratio in (0.25, 1)
+    (≅ reference find_good_stepsize semantics, trajectory.jl:768-837)."""
+    from advancedhmc_tpu.models import std_gaussian
+
+    target = std_gaussian(10)
+    h = Hamiltonian(metric=make_metric("diagonal", 10, dtype=jnp.float64),
+                    target=target)
+    eps = float(find_good_stepsize(jax.random.PRNGKey(5), h,
+                                   jnp.zeros(10, jnp.float64)))
+    assert 0.1 < eps < 3.0
