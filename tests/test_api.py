@@ -1,0 +1,159 @@
+"""API-surface parity tests: refreshments, adaptor variants, rank-update
+metric in the sampler, checkpoint/resume, diagnostics sanity, constructors
+(≅ /root/reference/test/constructors.jl + abstractmcmc.jl)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from advancedhmc_tpu import (
+    HMC,
+    HMCDA,
+    NUTS,
+    AdaptorConfig,
+    FixedNSteps,
+    GeneralisedNoUTurn,
+    HMCKernel,
+    Leapfrog,
+    PartialMomentumRefreshment,
+    Trajectory,
+    effective_sample_size,
+    make_metric,
+    sample,
+    split_rhat,
+)
+from advancedhmc_tpu.adaptation import MM_NUTPIE, NAIVE, STAN
+from advancedhmc_tpu.checkpoint import load_state, save_state
+from advancedhmc_tpu.models import mvn_diag, std_gaussian
+
+D = 4
+
+
+def _kernel(refreshment=None, eps=0.35):
+    traj = Trajectory(Leapfrog(step_size=jnp.asarray(eps, jnp.float64)),
+                      GeneralisedNoUTurn(max_depth=6), "multinomial")
+    if refreshment is None:
+        return HMCKernel(traj)
+    return HMCKernel(traj, refreshment=refreshment)
+
+
+def test_partial_momentum_refreshment():
+    target = std_gaussian(D)
+    kernel = _kernel(PartialMomentumRefreshment(alpha=0.5))
+    res = sample(
+        jax.random.PRNGKey(0), target, kernel,
+        make_metric("diagonal", D, dtype=jnp.float64),
+        jnp.zeros(D, jnp.float64), 1500, adaptor=AdaptorConfig(kind="none"),
+        init_eps=0.35, n_chains=4,
+    )
+    draws = np.asarray(res.thetas[300:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < 0.5
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.35)
+
+
+def test_naive_adaptor():
+    """NaiveHMCAdaptor: both components every step (ref Adaptation.jl:41-64)."""
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0], jnp.float64)
+    target = mvn_diag(scales)
+    res = sample(
+        jax.random.PRNGKey(1), target, _kernel(),
+        make_metric("diagonal", D, dtype=jnp.float64),
+        jnp.zeros(D, jnp.float64), 1200, n_adapts=600,
+        adaptor=AdaptorConfig(kind=NAIVE), init_eps=0.3, n_chains=4,
+    )
+    m_inv = np.asarray(res.final_state.metric.m_inv).mean(axis=0)
+    np.testing.assert_allclose(m_inv, np.asarray(scales), rtol=0.5)
+    draws = np.asarray(res.thetas[600:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < 0.6
+
+
+def test_nutpie_adaptor():
+    """Nutpie mass-matrix estimation through the sampler (position+gradient)."""
+    scales = jnp.asarray([0.25, 1.0, 2.0, 4.0], jnp.float64)
+    target = mvn_diag(scales)
+    res = sample(
+        jax.random.PRNGKey(2), target, _kernel(),
+        make_metric("diagonal", D, dtype=jnp.float64),
+        jnp.zeros(D, jnp.float64), 1200, n_adapts=800,
+        adaptor=AdaptorConfig(kind=STAN, mm_kind=MM_NUTPIE),
+        init_eps=0.3, n_chains=4,
+    )
+    m_inv = np.asarray(res.final_state.metric.m_inv).mean(axis=0)
+    # For a Gaussian, sqrt(var(θ)/var(∇)) = σ² exactly
+    np.testing.assert_allclose(m_inv, np.asarray(scales), rtol=0.5)
+
+
+def test_rank_update_metric_in_sampler():
+    target = std_gaussian(D)
+    res = sample(
+        jax.random.PRNGKey(3), target, _kernel(),
+        make_metric("rank_update", D, dtype=jnp.float64),
+        jnp.zeros(D, jnp.float64), 1000, adaptor=AdaptorConfig(kind="none"),
+        init_eps=0.35, n_chains=4,
+    )
+    draws = np.asarray(res.thetas[200:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < 0.5
+
+
+def test_constructors():
+    """Convenience constructor wiring (≅ test/constructors.jl:13-161)."""
+    n = NUTS(0.65, max_depth=7)
+    assert n.adaptor.kind == "stan"
+    assert n.adaptor.da.delta == 0.65
+    assert n.kernel.trajectory.criterion.max_depth == 7
+    assert n.kernel.trajectory.ts_kind == "multinomial"
+
+    h = HMC(eps=0.2, n_leapfrog=15)
+    assert h.adaptor.kind == "none"
+    assert isinstance(h.kernel.trajectory.criterion, FixedNSteps)
+    assert h.kernel.trajectory.criterion.n_steps == 15
+
+    hd = HMCDA(0.8, lam=1.5)
+    assert hd.adaptor.kind == "stepsize"
+    assert hd.kernel.trajectory.criterion.lam == 1.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.sampler import SampleSpec, sample_step
+
+    target = std_gaussian(D)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=False)
+    state = init_state(jax.random.PRNGKey(4), spec,
+                       make_metric("diagonal", D, dtype=jnp.float64),
+                       jnp.zeros((3, D), jnp.float64), init_eps=0.3)
+    flags = {k: jnp.asarray(v) for k, v in
+             dict(is_adapt=True, in_window=True, window_end=False,
+                  is_last=False).items()}
+    state, _ = sample_step(spec, state, flags)
+
+    path = str(tmp_path / "ck.npz")
+    save_state(path, state)
+    restored = load_state(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed stepping produces identical results
+    s1, _ = sample_step(spec, state, flags)
+    s2, _ = sample_step(spec, restored, flags)
+    np.testing.assert_array_equal(np.asarray(s1.z.theta), np.asarray(s2.z.theta))
+
+
+def test_diagnostics_sanity():
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=(1000, 4, 3))
+    ess = np.asarray(effective_sample_size(jnp.asarray(iid)))
+    assert ((ess > 2000) & (ess < 6000)).all()  # ≈ 4000 for iid
+    rhat = np.asarray(split_rhat(jnp.asarray(iid)))
+    np.testing.assert_allclose(rhat, 1.0, atol=0.02)
+
+    # strongly autocorrelated AR(1) → much smaller ESS
+    x = np.zeros((1000, 2, 1))
+    eps = rng.normal(size=(1000, 2, 1))
+    for t in range(1, 1000):
+        x[t] = 0.95 * x[t - 1] + eps[t]
+    ess_ar = np.asarray(effective_sample_size(jnp.asarray(x)))
+    assert ess_ar[0] < 500
