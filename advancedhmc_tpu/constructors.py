@@ -94,6 +94,7 @@ class SamplerConfig:
         cross_chain: bool = False,
         drop_warmup: bool = False,
         dtype=jnp.float32,
+        **kwargs,
     ) -> SampleResult:
         target = as_target(target, dim=dim)
         if metric is None:
@@ -111,6 +112,7 @@ class SamplerConfig:
             n_chains=n_chains,
             cross_chain=cross_chain,
             drop_warmup=drop_warmup,
+            **kwargs,
         )
 
 

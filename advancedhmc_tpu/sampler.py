@@ -218,6 +218,9 @@ def sample(
     drop_warmup: bool = False,
     collect_warmup_stats: bool = True,
     mesh=None,
+    progress: bool = False,
+    progress_every: int = 100,
+    verbose: bool = False,
 ) -> SampleResult:
     """Sample `n_samples` total iterations (first `n_adapts` adapting).
 
@@ -245,12 +248,42 @@ def sample(
 
     flags = adapt_flags(adaptor, n_adapts, n_samples)
 
+    def _progress_cb(iteration, stats):
+        i = int(iteration)
+        print(
+            f"[advancedhmc_tpu] iter {i}/{n_samples}"
+            f" | accept {float(jnp.mean(stats['acceptance_rate'])):.3f}"
+            f" | step_size {float(jnp.mean(stats['step_size'])):.2e}"
+            f" | divergent {float(jnp.mean(stats['numerical_error'])):.3f}",
+            flush=True,
+        )
+
+    def _maybe_progress(new_state, stats):
+        # ≅ the reference's ProgressMeter + divergence display
+        # (/root/reference/src/sampler.jl:95-103,195-218)
+        if progress:
+            import jax.experimental
+
+            jax.lax.cond(
+                new_state.iteration % progress_every == 0,
+                lambda: jax.experimental.io_callback(
+                    _progress_cb, None,
+                    new_state.iteration,
+                    {k: stats[k] for k in
+                     ("acceptance_rate", "step_size", "numerical_error")},
+                    ordered=True,
+                ),
+                lambda: None,
+            )
+
     def step_collect(state, per_iter_flags):
         new_state, stats = sample_step(spec, state, per_iter_flags)
+        _maybe_progress(new_state, stats)
         return new_state, (new_state.z.theta, stats)
 
     def step_stats_only(state, per_iter_flags):
         new_state, stats = sample_step(spec, state, per_iter_flags)
+        _maybe_progress(new_state, stats)
         return new_state, stats
 
     n_keep = n_samples - (n_adapts if drop_warmup else 0)
@@ -266,6 +299,12 @@ def sample(
     else:
         state, (thetas, stats) = jax.lax.scan(step_collect, state, flags)
 
-    return SampleResult(
+    result = SampleResult(
         thetas=thetas, stats=stats, warmup_stats=warmup_stats, final_state=state
     )
+    if verbose:
+        # end-of-run EBFMI / acceptance report ≅ sampler.jl:229-246
+        from .diagnostics import summarize
+
+        summarize(result, verbose=True)
+    return result
