@@ -8,7 +8,7 @@ termination criterion) × adaptor — expressed as pytree state + pure function
 kernels instead of Julia type dispatch.
 """
 
-from .target import LogDensityTarget, as_target
+from .target import LogDensityTarget, as_target, target_from_pytree
 from .metrics import (
     DenseEuclideanMetric,
     DiagEuclideanMetric,
@@ -24,6 +24,7 @@ from .hamiltonian import (
     PhasePoint,
 )
 from .integrators import (
+    ComposedLeapfrog,
     JitteredLeapfrog,
     Leapfrog,
     TemperedLeapfrog,
@@ -57,13 +58,13 @@ from .diagnostics import ebfmi, effective_sample_size, split_rhat, summarize
 __version__ = "0.1.0"
 
 __all__ = [
-    "LogDensityTarget", "as_target",
+    "LogDensityTarget", "as_target", "target_from_pytree",
     "UnitEuclideanMetric", "DiagEuclideanMetric", "DenseEuclideanMetric",
     "RankUpdateEuclideanMetric", "make_metric",
     "GaussianKinetic", "RelativisticKinetic",
     "Hamiltonian", "PhasePoint",
     "FullMomentumRefreshment", "PartialMomentumRefreshment",
-    "Leapfrog", "JitteredLeapfrog", "TemperedLeapfrog",
+    "Leapfrog", "JitteredLeapfrog", "TemperedLeapfrog", "ComposedLeapfrog",
     "leapfrog_step", "leapfrog_steps", "leapfrog_trajectory",
     "FixedNSteps", "FixedIntegrationTime",
     "ClassicNoUTurn", "GeneralisedNoUTurn", "StrictGeneralisedNoUTurn",

@@ -54,6 +54,12 @@ class Leapfrog(struct.PyTreeNode):
         """Momentum tempering multiplier; identity for plain leapfrog."""
         return None
 
+    def step(self, h, z, eps, step_index=0, n_steps=1):
+        """One integrator step with signed step size (pluggable verb — the
+        analogue of the reference's `step` dispatch surface that the
+        OrdinaryDiffEq extension overloads, ext/…SymplecticRKExt.jl:6-47)."""
+        return leapfrog_step(self, h, z, eps, step_index, n_steps)
+
 
 class JitteredLeapfrog(struct.PyTreeNode):
     """Leapfrog with per-trajectory jittered step size.
@@ -123,6 +129,50 @@ class TemperedLeapfrog(struct.PyTreeNode):
         return jnp.where(i_temper <= n_steps, sqrt_a, 1.0 / sqrt_a)
 
 
+class ComposedLeapfrog(struct.PyTreeNode):
+    """Higher-order symplectic integrator as a composition of leapfrog steps
+    with sub-step fractions γᵢ (triple-jump / Yoshida-style splitting).
+
+    This is the pluggable-symplectic-solver capability of the reference's
+    OrdinaryDiffEqSymplecticRK extension
+    (/root/reference/ext/AdvancedHMCOrdinaryDiffEqSymplecticRKExt.jl:6-47),
+    rebuilt natively: any palindromic composition Π L(γᵢ·ϵ) of the base
+    leapfrog is itself symplectic and time-reversible; `yoshida4` gives the
+    classic 4th-order triple jump.
+    """
+
+    step_size: jnp.ndarray
+    gammas: tuple = struct.field(pytree_node=False)
+
+    @classmethod
+    def yoshida4(cls, step_size):
+        w1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+        w0 = 1.0 - 2.0 * w1
+        return cls(step_size=jnp.asarray(step_size), gammas=(w1, w0, w1))
+
+    @property
+    def nom_step_size(self):
+        return self.step_size
+
+    @property
+    def current_step_size(self):
+        return self.step_size
+
+    def with_nom_step_size(self, eps):
+        return self.replace(step_size=eps)
+
+    def jitter(self, key):
+        return self
+
+    def temper_scale(self, i, is_half_first, n_steps):
+        return None
+
+    def step(self, h, z, eps, step_index=0, n_steps=1):
+        for g in self.gammas:
+            z = leapfrog_step(self, h, z, g * eps)
+        return z
+
+
 def leapfrog_step(
     integrator,
     h: Hamiltonian,
@@ -169,7 +219,7 @@ def leapfrog_steps(
 
     def body(carry, i):
         z, done = carry
-        z_new = leapfrog_step(integrator, h, z, eps, step_index=i, n_steps=n_steps)
+        z_new = integrator.step(h, z, eps, step_index=i, n_steps=n_steps)
         take = jnp.logical_not(done)
         z_out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(take, b, a), z, z_new
@@ -202,7 +252,7 @@ def leapfrog_trajectory(
 
     def body(carry, i):
         z, done = carry
-        z_new = leapfrog_step(integrator, h, z, eps, step_index=i, n_steps=n_steps)
+        z_new = integrator.step(h, z, eps, step_index=i, n_steps=n_steps)
         take = jnp.logical_not(done)
         z_out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(take, b, a), z, z_new

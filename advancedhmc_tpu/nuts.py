@@ -183,7 +183,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         # --- one leapfrog step in direction v (ref base case, :638-647) ---
         eps_signed = eps * v.astype(dtype)
-        z_new = leapfrog_step(integ, h, z_edge, eps_signed)
+        z_new = integ.step(h, z_edge, eps_signed)
         vel_new = h.velocity(z_new.r)
         h_new = z_new.energy()
         dh = h_new - h0

@@ -60,6 +60,26 @@ class LogDensityTarget:
         )
 
 
+def target_from_pytree(logdensity_fn, example) -> LogDensityTarget:
+    """Wrap a log density over pytree-structured parameters.
+
+    The analogue of the ComponentArrays extension
+    (/root/reference/ext/AdvancedHMCComponentArraysExt.jl): structured/named
+    parameters flow through the sampler as a flat vector via
+    `ravel_pytree`; the returned target carries `unravel` to map draws back.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat_example, unravel = ravel_pytree(example)
+
+    def flat_logdensity(x):
+        return logdensity_fn(unravel(x))
+
+    t = LogDensityTarget(flat_logdensity, int(flat_example.size))
+    object.__setattr__(t, "unravel", unravel)
+    return t
+
+
 def as_target(obj, dim: Optional[int] = None) -> LogDensityTarget:
     """Coerce a callable or target-like object into a LogDensityTarget."""
     if isinstance(obj, LogDensityTarget):

@@ -173,7 +173,7 @@ def _endpoint_proposal(key, h, traj: Trajectory, z: PhasePoint):
 
         def body(carry):
             i, zc, done = carry
-            z_new = leapfrog_step(integ, h, zc, eps, step_index=i, n_steps=n_steps)
+            z_new = integ.step(h, zc, eps, step_index=i, n_steps=n_steps)
             done_new = jnp.logical_not(z_new.is_finite()) | (i + 1 >= n_steps)
             return (i + 1, z_new, done_new)
 
@@ -225,8 +225,8 @@ def _multinomial_proposal(key, h, traj: Trajectory, z: PhasePoint):
         seg_len = jnp.where(in_bwd, n_bwd, n_fwd)
         seg_idx = jnp.where(in_bwd, t, t - n_bwd)
         eps_signed = jnp.where(in_bwd, -eps, eps)
-        z_new = leapfrog_step(
-            integ, h, z_from, eps_signed, step_index=seg_idx, n_steps=seg_len
+        z_new = integ.step(
+            h, z_from, eps_signed, step_index=seg_idx, n_steps=seg_len
         )
         active = jnp.logical_not(done_dir) & (t < n_steps)
         z_edge = _select_phasepoint(active, z_new, z_from)

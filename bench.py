@@ -1,18 +1,22 @@
-"""Benchmark: 4096-chain NUTS on the 100-D hierarchical logistic model.
+"""Benchmark: many-chain NUTS on the 100-D hierarchical logistic model.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Primary metric = effective samples / second / chip (bulk ESS pooled over all
-chains and the sampling phase wall time, post-warmup). The reference publishes
-no absolute numbers (BASELINE.md), so vs_baseline is reported as 1.0.
+chains, sampling-phase wall time, post-warmup). The reference publishes no
+absolute numbers (BASELINE.md), so vs_baseline is reported as 1.0.
+
+Execution is chunked (host sync every `CHUNK` iterations) so no single device
+program runs unboundedly long.
 
 Env overrides: AHMC_BENCH_CHAINS, AHMC_BENCH_DRAWS, AHMC_BENCH_WARMUP,
-AHMC_BENCH_DIM.
+AHMC_BENCH_DIM, AHMC_BENCH_MAX_DEPTH, AHMC_BENCH_CHUNK.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -24,9 +28,11 @@ def main():
     from advancedhmc_tpu import (
         AdaptorConfig,
         GeneralisedNoUTurn,
+        Hamiltonian,
         HMCKernel,
         Leapfrog,
         Trajectory,
+        find_good_stepsize,
         init_state,
         make_metric,
         sample_step,
@@ -41,12 +47,13 @@ def main():
     n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 500))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
+    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 32))
 
     target = hierarchical_logistic(n=1000, p=dim - 1, dtype=jnp.float32)
 
     kernel = HMCKernel(
         Trajectory(
-            Leapfrog(step_size=jnp.asarray(0.02, jnp.float32)),
+            Leapfrog(step_size=jnp.asarray(0.05, jnp.float32)),
             GeneralisedNoUTurn(max_depth=max_depth),
             "multinomial",
         )
@@ -59,49 +66,67 @@ def main():
     )
 
     key = jax.random.PRNGKey(0)
-    k_init, k_state = jax.random.split(key)
+    k_init, k_eps, k_state = jax.random.split(key, 3)
     theta0 = 0.1 * jax.random.normal(k_init, (n_chains, dim), jnp.float32)
-    state = init_state(k_state, spec, make_metric("diagonal", dim), theta0,
-                       init_eps=0.02)
 
-    flags = adapt_flags(spec.adaptor, n_warmup, n_warmup + n_draws)
-    warm_flags = jax.tree_util.tree_map(lambda a: a[:n_warmup], flags)
-    draw_flags = jax.tree_util.tree_map(lambda a: a[n_warmup:], flags)
+    h0 = Hamiltonian(metric=make_metric("diagonal", dim), target=target)
+    eps0 = jax.jit(find_good_stepsize)(k_eps, h0, theta0[0])
+    eps0 = float(eps0)
+    print(f"# init step size: {eps0:.4f}", file=sys.stderr)
+
+    state = init_state(k_state, spec, make_metric("diagonal", dim), theta0,
+                       init_eps=eps0)
+
+    flags_all = adapt_flags(spec.adaptor, n_warmup, n_warmup + n_draws)
+
+    def chunk_flags(start, size):
+        return jax.tree_util.tree_map(lambda a: a[start:start + size], flags_all)
 
     @jax.jit
-    def warmup(state):
+    def run_chunk(state, flags):
         def body(st, f):
             new_st, stats = sample_step(spec, st, f)
             return new_st, stats["n_steps"]
-        return jax.lax.scan(body, state, warm_flags)
+        return jax.lax.scan(body, state, flags)
 
     @jax.jit
-    def draws(state):
+    def run_chunk_collect(state, flags):
         def body(st, f):
             new_st, stats = sample_step(spec, st, f)
             return new_st, (new_st.z.theta, stats["n_steps"])
-        return jax.lax.scan(body, state, draw_flags)
+        return jax.lax.scan(body, state, flags)
 
+    # --- warmup (chunked, untimed beyond wall) ---
     t0 = time.time()
-    state, warm_steps = warmup(state)
-    jax.block_until_ready(state.z.theta)
+    for start in range(0, n_warmup, chunk):
+        state, _ = run_chunk(state, chunk_flags(start, chunk))
+        jax.block_until_ready(state.z.theta)
+        if start % (chunk * 4) == 0:
+            eps_now = float(jnp.mean(state.adapt.da.eps))
+            print(f"# warmup {start}/{n_warmup} eps={eps_now:.4f} "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t_warm = time.time() - t0
 
-    # timed sampling phase (compile once via a separate trace happens inside)
+    # --- timed sampling phase ---
+    thetas_chunks = []
+    steps_chunks = []
     t0 = time.time()
-    state, (thetas, n_steps) = draws(state)
-    jax.block_until_ready(thetas)
+    for start in range(n_warmup, n_warmup + n_draws, chunk):
+        state, (th, ns) = run_chunk_collect(state, chunk_flags(start, chunk))
+        thetas_chunks.append(th)
+        steps_chunks.append(ns)
+    jax.block_until_ready(thetas_chunks[-1])
     t_draw = time.time() - t0
 
-    total_leapfrogs = float(np.asarray(n_steps, np.float64).sum())
-    thetas_np = np.asarray(thetas)  # (n_draws, n_chains, dim)
+    thetas_np = np.concatenate([np.asarray(t) for t in thetas_chunks], axis=0)
+    total_leapfrogs = float(sum(np.asarray(s, np.float64).sum()
+                                for s in steps_chunks))
 
     # Bulk ESS pooled over chains (subsample chains to bound host FFT cost)
+    from advancedhmc_tpu.diagnostics import effective_sample_size as ess_fn
+
     max_ess_chains = min(n_chains, 512)
-    ess = np.asarray(
-        effective_sample_size(jnp.asarray(thetas_np[:, :max_ess_chains, :]))
-    )
-    # scale pooled ESS to the full chain count
+    ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
     ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
     ess_per_s = ess_total / t_draw
     lf_per_s = total_leapfrogs / t_draw
@@ -117,7 +142,8 @@ def main():
         "n_draws": n_draws,
         "warmup_s": round(t_warm, 2),
         "sampling_s": round(t_draw, 2),
-        "median_ess_per_chain_dim": round(float(np.median(ess)) / max_ess_chains, 3),
+        "median_pooled_ess": round(float(np.median(ess)), 1),
+        "init_step_size": round(eps0, 5),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

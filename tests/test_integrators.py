@@ -104,3 +104,54 @@ def test_nonfinite_abort():
     first_bad = int(np.argmin(taken)) - 1  # last taken index
     z_final = leapfrog_steps(integ, h, z, 10)
     assert float(z_final.logdensity) == -np.inf
+
+
+def test_yoshida4_higher_order():
+    """ComposedLeapfrog.yoshida4: energy error scales ~ O(ϵ⁴) vs leapfrog's
+    O(ϵ²) (the OrdinaryDiffEq symplectic-extension analog)."""
+    from advancedhmc_tpu import ComposedLeapfrog
+
+    h = _h1d()
+    z0 = h.phasepoint(jnp.asarray([1.0]), jnp.asarray([0.0]))
+    e0 = float(z0.energy())
+
+    def max_energy_err(integ, eps, n):
+        z = z0
+        err = 0.0
+        for _ in range(n):
+            z = integ.step(h, z, eps)
+            err = max(err, abs(float(z.energy()) - e0))
+        return err
+
+    eps = 0.25
+    err_lf = max_energy_err(Leapfrog(step_size=jnp.asarray(eps, jnp.float64)),
+                            eps, 40)
+    err_y4 = max_energy_err(ComposedLeapfrog.yoshida4(jnp.asarray(eps, jnp.float64)),
+                            eps, 40)
+    assert err_y4 < err_lf / 20  # 4th order ≫ 2nd order at this ϵ
+
+    # reversibility of the palindromic composition
+    integ = ComposedLeapfrog.yoshida4(jnp.asarray(0.3, jnp.float64))
+    z = z0
+    for _ in range(10):
+        z = integ.step(h, z, 0.3)
+    for _ in range(10):
+        z = integ.step(h, z, -0.3)
+    np.testing.assert_allclose(np.asarray(z.theta), np.asarray(z0.theta), atol=1e-10)
+
+
+def test_pytree_target():
+    """Structured parameters via ravel_pytree (ComponentArrays-ext analog)."""
+    from advancedhmc_tpu import target_from_pytree
+
+    example = {"mu": jnp.zeros(2), "scale": jnp.zeros(())}
+
+    def logp(p):
+        return -0.5 * jnp.sum(p["mu"] ** 2) - 0.5 * p["scale"] ** 2
+
+    t = target_from_pytree(logp, example)
+    assert t.dim == 3
+    v, g = t.logdensity_and_grad(jnp.asarray([1.0, 2.0, 3.0]))
+    assert np.isclose(float(v), -0.5 * (1 + 4 + 9))
+    tree = t.unravel(jnp.asarray([1.0, 2.0, 3.0]))
+    assert set(tree) == {"mu", "scale"}
