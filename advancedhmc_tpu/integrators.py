@@ -96,6 +96,9 @@ class JitteredLeapfrog(struct.PyTreeNode):
     def temper_scale(self, i, is_half_first, n_steps):
         return None
 
+    def step(self, h, z, eps, step_index=0, n_steps=1):
+        return leapfrog_step(self, h, z, eps, step_index, n_steps)
+
 
 class TemperedLeapfrog(struct.PyTreeNode):
     """Leapfrog with momentum tempering parameter α.
@@ -127,6 +130,9 @@ class TemperedLeapfrog(struct.PyTreeNode):
         i_temper = 2 * i + 1 + jnp.where(is_half_first, 0, 1)  # i is 0-indexed here
         sqrt_a = jnp.sqrt(jnp.asarray(self.alpha, dtype=jnp.result_type(self.step_size)))
         return jnp.where(i_temper <= n_steps, sqrt_a, 1.0 / sqrt_a)
+
+    def step(self, h, z, eps, step_index=0, n_steps=1):
+        return leapfrog_step(self, h, z, eps, step_index, n_steps)
 
 
 class ComposedLeapfrog(struct.PyTreeNode):
