@@ -221,44 +221,61 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         )
         ck_odd_r, ck_odd_vel = st["ck_odd_r"], st["ck_odd_vel"]
 
+        # All K = max_depth-1 candidate spans are checked in one batched
+        # gather + einsum pass (masked by `active`) instead of an unrolled
+        # per-k loop — ~10 vector ops total in the hot while-loop body.
         i_even = (i % 2) == 0
         t_ones = trailing_ones(i)
-        turn_here = jnp.asarray(False)
         vsign = v.astype(dtype)
-        for k in range(1, max_depth):
-            span = 1 << k
-            active = jnp.logical_not(i_even) & (k <= t_ones)
-            a = i - span + 1
-            tz_a = trailing_zeros(jnp.maximum(a, 1))
-            slot_a = jnp.where(a == 0, max_depth - 1, jnp.minimum(tz_a, max_depth - 1))
-            th_a = jax.lax.dynamic_index_in_dim(ck_theta, slot_a, keepdims=False)
-            r_a = jax.lax.dynamic_index_in_dim(ck_r, slot_a, keepdims=False)
-            vel_a = jax.lax.dynamic_index_in_dim(ck_vel, slot_a, keepdims=False)
-            cum_a = jax.lax.dynamic_index_in_dim(ck_cum, slot_a, keepdims=False)
-            rho_span = s_rho - cum_a + r_a
-            if is_classic:
-                dtheta = vsign * (z_new.theta - th_a)
-                turn_k = _uturn_classic(dtheta, vel_a, vel_new)
-            else:
-                turn_k = _uturn_generalised(rho_span, vel_a, vel_new)
-            if is_strict and k >= 2:
-                # mid = a + 2^{k-1} - 1 (odd), mid+1 even at slot k-1
-                r_m1 = ck_r[k - 1]
-                vel_m1 = ck_vel[k - 1]
-                cum_m1 = ck_cum[k - 1]
-                r_m = ck_odd_r[k - 1]
-                vel_m = ck_odd_vel[k - 1]
-                rho_h1 = (cum_m1 - r_m1) - cum_a + r_a   # visits a..mid
-                rho_h2 = s_rho - cum_m1 + r_m1           # visits mid+1..i
-                # forward: tleft=H1, tright=H2 (ref :596-613)
-                fl = _uturn_generalised(rho_h1 + r_m1, vel_a, vel_m1)
-                fr = _uturn_generalised(r_m + rho_h2, vel_m, vel_new)
-                # backward: tree order flips the halves
-                bl = _uturn_generalised(rho_h2 + r_m, vel_new, vel_m)
-                br = _uturn_generalised(r_m1 + rho_h1, vel_m1, vel_a)
-                turn_k = turn_k | jnp.where(fwd, fl | fr, bl | br)
-            turn_here = turn_here | (active & turn_k)
-        s_turning = s_turning | turn_here
+        ks = jnp.arange(1, max_depth, dtype=jnp.int32)           # (K,)
+        spans = jnp.left_shift(jnp.int32(1), ks)
+        a_s = i - spans + 1                                      # (K,)
+        active_s = jnp.logical_not(i_even) & (ks <= t_ones) & (a_s >= 0)
+        a_safe = jnp.maximum(a_s, 0)
+        tz_a = trailing_zeros(jnp.maximum(a_safe, 1))
+        slot_a = jnp.where(a_safe == 0, max_depth - 1,
+                           jnp.minimum(tz_a, max_depth - 1))     # (K,)
+        r_a = jnp.take(ck_r, slot_a, axis=0)                     # (K, D)
+        vel_a = jnp.take(ck_vel, slot_a, axis=0)
+        cum_a = jnp.take(ck_cum, slot_a, axis=0)
+        rho_span = s_rho[None, :] - cum_a + r_a                  # (K, D)
+        if is_classic:
+            th_a = jnp.take(ck_theta, slot_a, axis=0)
+            dtheta = vsign * (z_new.theta[None, :] - th_a)       # (K, D)
+            turn_k = (jnp.einsum("kd,kd->k", dtheta, vel_a) <= 0) | (
+                dtheta @ vel_new <= 0
+            )
+        else:
+            turn_k = (jnp.einsum("kd,kd->k", rho_span, vel_a) <= 0) | (
+                rho_span @ vel_new <= 0
+            )
+        if is_strict:
+            # mid = a + 2^{k-1} - 1 (odd); mid+1 even — both live at slot k-1,
+            # i.e. the contiguous prefix rows [0:K) of the stacks.
+            r_m1 = ck_r[: max_depth - 1]
+            vel_m1 = ck_vel[: max_depth - 1]
+            cum_m1 = ck_cum[: max_depth - 1]
+            r_m = ck_odd_r[: max_depth - 1]
+            vel_m = ck_odd_vel[: max_depth - 1]
+            rho_h1 = (cum_m1 - r_m1) - cum_a + r_a               # visits a..mid
+            rho_h2 = s_rho[None, :] - cum_m1 + r_m1              # visits mid+1..i
+            dot = lambda x, y: jnp.einsum("kd,kd->k", x, y)
+            # forward: tleft=H1, tright=H2 (ref :596-613)
+            x1 = rho_h1 + r_m1
+            fl = (dot(x1, vel_a) <= 0) | (dot(x1, vel_m1) <= 0)
+            x2 = r_m + rho_h2
+            fr = (dot(x2, vel_m) <= 0) | (x2 @ vel_new <= 0)
+            # backward: tree order flips the halves
+            x3 = rho_h2 + r_m
+            bl = (x3 @ vel_new <= 0) | (dot(x3, vel_m) <= 0)
+            x4 = r_m1 + rho_h1
+            br = (dot(x4, vel_m1) <= 0) | (dot(x4, vel_a) <= 0)
+            sub_turn = jnp.where(fwd, fl | fr, bl | br)
+            # the k=1 half-checks coincide with the main check (leaves), but
+            # x computations above are only valid for k ≥ 2: mask them out.
+            sub_turn = sub_turn & (ks >= 2)
+            turn_k = turn_k | sub_turn
+        s_turning = s_turning | jnp.any(active_s & turn_k)
         s_diverged = s_diverged | diverging
 
         # --- store checkpoints ---
