@@ -145,13 +145,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         s_dh_max=jnp.asarray(0.0, jnp.result_type(h0)),
         s_turning=jnp.asarray(False),
         s_diverged=jnp.asarray(False),
-        # --- checkpoint stacks ---
-        ck_theta=stack,
+        # --- checkpoint stacks (unused ones collapse to scalars) ---
+        ck_theta=stack if is_classic else jnp.zeros((), dtype),
         ck_r=stack,
         ck_vel=stack,
         ck_cum=stack,
-        ck_odd_r=stack,
-        ck_odd_vel=stack,
+        ck_odd_r=stack if is_strict else jnp.zeros((), dtype),
+        ck_odd_vel=stack if is_strict else jnp.zeros((), dtype),
     )
 
     def cond(st):
@@ -235,12 +235,16 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         tz_a = trailing_zeros(jnp.maximum(a_safe, 1))
         slot_a = jnp.where(a_safe == 0, max_depth - 1,
                            jnp.minimum(tz_a, max_depth - 1))     # (K,)
-        r_a = jnp.take(ck_r, slot_a, axis=0)                     # (K, D)
-        vel_a = jnp.take(ck_vel, slot_a, axis=0)
-        cum_a = jnp.take(ck_cum, slot_a, axis=0)
+        # One-hot gather instead of jnp.take: per-chain dynamic gathers lower
+        # to serialized scatters/gathers under vmap on TPU; a (K, S)·(S, D)
+        # matmul is fully parallel (and MXU-able).
+        sel_a = (slot_a[:, None] == jnp.arange(max_depth)[None, :]).astype(dtype)
+        r_a = sel_a @ ck_r                                        # (K, D)
+        vel_a = sel_a @ ck_vel
+        cum_a = sel_a @ ck_cum
         rho_span = s_rho[None, :] - cum_a + r_a                  # (K, D)
         if is_classic:
-            th_a = jnp.take(ck_theta, slot_a, axis=0)
+            th_a = sel_a @ ck_theta
             dtheta = vsign * (z_new.theta[None, :] - th_a)       # (K, D)
             turn_k = (jnp.einsum("kd,kd->k", dtheta, vel_a) <= 0) | (
                 dtheta @ vel_new <= 0
@@ -283,17 +287,19 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         slot_even = jnp.where(i == 0, max_depth - 1, jnp.minimum(tz_i, max_depth - 1))
         slot_odd = jnp.minimum(trailing_zeros(i + 1), max_depth - 1)
 
-        def upd(buf, slot, vec, pred):
-            row = jax.lax.dynamic_index_in_dim(buf, slot, keepdims=False)
-            new_row = jnp.where(pred, vec, row)
-            return jax.lax.dynamic_update_index_in_dim(buf, new_row, slot, 0)
+        # One-hot masked writes (vectorized; avoids per-chain scatters).
+        slots = jnp.arange(max_depth)
+        mask_even = ((slots == slot_even) & i_even)[:, None]          # (S, 1)
+        mask_odd = ((slots == slot_odd) & jnp.logical_not(i_even))[:, None]
 
-        ck_theta = upd(ck_theta, slot_even, z_new.theta, i_even)
-        ck_r = upd(ck_r, slot_even, z_new.r, i_even)
-        ck_vel = upd(ck_vel, slot_even, vel_new, i_even)
-        ck_cum = upd(ck_cum, slot_even, s_rho, i_even)
-        ck_odd_r = upd(ck_odd_r, slot_odd, z_new.r, jnp.logical_not(i_even))
-        ck_odd_vel = upd(ck_odd_vel, slot_odd, vel_new, jnp.logical_not(i_even))
+        if is_classic:
+            ck_theta = jnp.where(mask_even, z_new.theta[None, :], ck_theta)
+        ck_r = jnp.where(mask_even, z_new.r[None, :], ck_r)
+        ck_vel = jnp.where(mask_even, vel_new[None, :], ck_vel)
+        ck_cum = jnp.where(mask_even, s_rho[None, :], ck_cum)
+        if is_strict:
+            ck_odd_r = jnp.where(mask_odd, z_new.r[None, :], ck_odd_r)
+            ck_odd_vel = jnp.where(mask_odd, vel_new[None, :], ck_odd_vel)
 
         # --- is the current doubling finished? ---
         n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), st["depth"])
