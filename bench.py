@@ -47,7 +47,7 @@ def main():
     n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 500))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
-    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 32))
+    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 8))
 
     target = hierarchical_logistic(n=1000, p=dim - 1, dtype=jnp.float32)
 
