@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: remote compiles over the TPU tunnel take
+# minutes; cache them across bench invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 
 def main():
     from advancedhmc_tpu import (
@@ -49,7 +54,13 @@ def main():
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
     chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 8))
 
-    target = hierarchical_logistic(n=1000, p=dim - 1, dtype=jnp.float32)
+    model = os.environ.get("AHMC_BENCH_MODEL", "logistic")
+    if model == "gaussian":
+        from advancedhmc_tpu.models import std_gaussian
+
+        target = std_gaussian(dim)
+    else:
+        target = hierarchical_logistic(n=1000, p=dim - 1, dtype=jnp.float32)
 
     kernel = HMCKernel(
         Trajectory(

@@ -7,6 +7,8 @@ reference's stochastic tolerance RNDATOL (= 5e-2·D·2 = 0.5,
 practice much tighter.
 """
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -125,8 +127,11 @@ CASES = {
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_five_d_gaussian_mean(name):
     kernel, metric_kind, adaptor, n_adapts = CASES[name]
+    # Fixed-ε cases use the kernel's nominal step size directly; adaptive
+    # cases start from it and adapt (the ε-search is tested separately).
+    eps0 = float(kernel.trajectory.integrator.nom_step_size)
     draws, res = _run(kernel, metric_kind, adaptor, n=2000, n_adapts=n_adapts,
-                      seed=hash(name) % 2**31)
+                      seed=zlib.crc32(name.encode()) % 2**31, init_eps=eps0)
     mean = draws.mean(axis=0)
     assert np.linalg.norm(mean) < RNDATOL, mean
     var = draws.var(axis=0)
