@@ -74,7 +74,8 @@ def _uturn_classic(dtheta_tree, vel_l, vel_r):
 
 
 def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
-                    force_directions=None, return_debug=False):
+                    force_directions=None, return_debug=False,
+                    coupled_key=None):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
@@ -162,7 +163,11 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         start = st["leaf"] == 0
 
         # --- begin a new doubling: draw direction, pick edge, reset subtree ---
-        if force_directions is None:
+        if force_directions is None and coupled_key is not None:
+            # shared doubling direction across vmapped chains
+            # (`rand_coupled` semantics, ref utilities.jl:39-47)
+            v_draw = rand_sign(jax.random.fold_in(coupled_key, st["depth"]))
+        elif force_directions is None:
             v_draw = rand_sign(k_dir)
         else:
             v_draw = jnp.asarray(force_directions, jnp.int32)[

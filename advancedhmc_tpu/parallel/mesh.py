@@ -25,6 +25,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 CHAIN_AXIS = "chains"
 
 
+def distributed_init(**kwargs):
+    """Initialise multi-host JAX (call once per host before building meshes).
+
+    Thin wrapper over `jax.distributed.initialize` — the multi-host entry for
+    pod-slice chain parallelism (SURVEY.md §2.3). No-ops if already
+    initialised.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialised
+
+
 def mesh_of_all_devices(n_devices: Optional[int] = None, axis_name: str = CHAIN_AXIS) -> Mesh:
     """1-D mesh over (the first n) available devices."""
     devices = jax.devices()

@@ -70,13 +70,18 @@ class SampleSpec:
     adaptor: AdaptorConfig
     cross_chain: bool = False
     kinetic: Any = GaussianKinetic()
+    # Share trajectory-shape random decisions (multinomial split / NUTS
+    # doubling direction) across chains — the reference's coupled vector-of-
+    # RNGs mode (`rand_coupled`, /root/reference/src/utilities.jl:39-47).
+    coupled: bool = False
 
     def __hash__(self):
         return hash((self.target, id(self.kernel), self.adaptor,
-                     self.cross_chain, self.kinetic))
+                     self.cross_chain, self.kinetic, self.coupled))
 
 
-def _one_chain_transition(spec: SampleSpec, key, metric, eps, z):
+def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
+                          coupled_key=None):
     """jitter → refresh → trajectory transition (ref sampler.jl:48-58)."""
     h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
     k_jit, k_ref, k_tr = jax.random.split(key, 3)
@@ -85,8 +90,8 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z):
     traj = spec.kernel.trajectory.replace(integrator=integ)
     z = spec.kernel.refreshment.refresh(k_ref, h, z)
     if isinstance(traj.criterion, DynamicTerminationCriterion):
-        return nuts_transition(k_tr, h, traj, z)
-    return transition_static(k_tr, h, traj, z)
+        return nuts_transition(k_tr, h, traj, z, coupled_key=coupled_key)
+    return transition_static(k_tr, h, traj, z, coupled_key=coupled_key)
 
 
 def sample_step(spec: SampleSpec, state: HMCState, flags) -> tuple:
@@ -95,12 +100,14 @@ def sample_step(spec: SampleSpec, state: HMCState, flags) -> tuple:
     per_chain = not spec.cross_chain
     n_chains = state.z.theta.shape[0]
 
-    key, k_step = jax.random.split(state.key)
+    key, k_step, k_coupled = jax.random.split(state.key, 3)
     keys = jax.random.split(k_step, n_chains)
+    coupled_key = k_coupled if spec.coupled else None
 
     batch_axis = 0 if per_chain else None
     z_new, stats = jax.vmap(
-        lambda k, m, e, z: _one_chain_transition(spec, k, m, e, z),
+        lambda k, m, e, z: _one_chain_transition(spec, k, m, e, z,
+                                                 coupled_key=coupled_key),
         in_axes=(0, batch_axis, batch_axis, 0),
     )(keys, state.metric, state.adapt.da.eps, state.z)
 
@@ -215,6 +222,7 @@ def sample(
     init_eps=None,
     n_chains: Optional[int] = None,
     cross_chain: bool = False,
+    coupled: bool = False,
     drop_warmup: bool = False,
     collect_warmup_stats: bool = True,
     mesh=None,
@@ -235,7 +243,8 @@ def sample(
             raise ValueError("cannot drop warmup without adaptation")
 
     spec = SampleSpec(
-        target=target, kernel=kernel, adaptor=adaptor, cross_chain=cross_chain
+        target=target, kernel=kernel, adaptor=adaptor,
+        cross_chain=cross_chain, coupled=coupled,
     )
     state = init_state(key, spec, metric, init_theta, init_eps, n_chains)
 

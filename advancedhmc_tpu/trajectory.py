@@ -119,10 +119,14 @@ def _num_static_steps(traj: Trajectory):
     raise TypeError(f"not a static criterion: {type(c)}")
 
 
-def transition_static(key, h: Hamiltonian, traj: Trajectory, z: PhasePoint):
+def transition_static(key, h: Hamiltonian, traj: Trajectory, z: PhasePoint,
+                      coupled_key=None):
     """One static-HMC transition; returns (z_next, stats dict).
 
-    Mirrors /root/reference/src/trajectory.jl:271-300.
+    Mirrors /root/reference/src/trajectory.jl:271-300. `coupled_key`, when
+    given, is a key shared across all vmapped chains and drives the
+    forward/backward split — the reference's `rand_coupled` semantics
+    (/root/reference/src/trajectory.jl:373, src/utilities.jl:39-47).
     """
     h0 = z.energy()
     key_sample, key_mh = jax.random.split(key)
@@ -134,7 +138,7 @@ def transition_static(key, h: Hamiltonian, traj: Trajectory, z: PhasePoint):
         z_next = _select_phasepoint(is_accept, z_prop, z)
     elif traj.ts_kind == MULTINOMIAL:
         z_prop, is_accept, alpha, numerical_error, n_steps = _multinomial_proposal(
-            key_sample, h, traj, z
+            key_sample, h, traj, z, coupled_key=coupled_key
         )
         z_next = z_prop
     else:  # pragma: no cover
@@ -185,7 +189,8 @@ def _endpoint_proposal(key, h, traj: Trajectory, z: PhasePoint):
     return z_prop, is_accept, alpha, numerical_error, n_steps
 
 
-def _multinomial_proposal(key, h, traj: Trajectory, z: PhasePoint):
+def _multinomial_proposal(key, h, traj: Trajectory, z: PhasePoint,
+                          coupled_key=None):
     """Streaming multinomial sampling over a randomly split trajectory.
 
     Distributionally equivalent to /root/reference/src/trajectory.jl:369-390:
@@ -200,8 +205,10 @@ def _multinomial_proposal(key, h, traj: Trajectory, z: PhasePoint):
     h0 = z.energy()
     dtype = jnp.result_type(h0)
 
-    # Random forward/backward split (ref :373; `rand_coupled` couples chains —
-    # here per-chain keys decide, shared-key coupling is a sampler-level choice).
+    # Random forward/backward split (ref :373). With `coupled_key` set, all
+    # chains share one split draw (`rand_coupled`, ref utilities.jl:39-47).
+    if coupled_key is not None:
+        key_split = coupled_key
     n_fwd = jax.random.randint(key_split, (), 0, n_steps + 1)
     n_bwd = n_steps - n_fwd
 

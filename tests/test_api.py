@@ -157,3 +157,24 @@ def test_diagnostics_sanity():
         x[t] = 0.95 * x[t - 1] + eps[t]
     ess_ar = np.asarray(effective_sample_size(jnp.asarray(x)))
     assert ess_ar[0] < 500
+
+
+def test_coupled_chain_mode():
+    """rand_coupled semantics: coupled chains share trajectory-shape decisions
+    (NUTS doubling directions) but remain statistically valid."""
+    from advancedhmc_tpu.models import std_gaussian
+
+    target = std_gaussian(D)
+    res = sample(
+        jax.random.PRNGKey(5), target, _kernel(),
+        make_metric("diagonal", D, dtype=jnp.float64),
+        jnp.zeros(D, jnp.float64), 1200, adaptor=AdaptorConfig(kind="none"),
+        init_eps=0.35, n_chains=4, coupled=True,
+    )
+    draws = np.asarray(res.thetas[200:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < 0.5
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, atol=0.35)
+    # identical tree depths across chains would be too strong (termination
+    # is per-chain), but the first doubling direction is shared: depths and
+    # stats must remain finite and sensible
+    assert np.isfinite(np.asarray(res.stats["tree_depth"])).all()
