@@ -114,4 +114,9 @@ def summarize(result, verbose: bool = True):
             for k, v in report.items()
         }
         print(f"[advancedhmc_tpu] sampling finished: {msg}")
+        # ≅ the reference's high-divergence warning (sampler.jl:200-203)
+        if msg["divergence_rate"] > 0.25:
+            print("[advancedhmc_tpu] WARNING: the level of numerical errors "
+                  "is high (>25% divergent transitions). Please check the "
+                  "model carefully.")
     return report

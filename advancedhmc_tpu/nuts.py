@@ -135,7 +135,6 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         v=jnp.asarray(1, jnp.int32),
         leaf=jnp.asarray(0, jnp.int32),
         z_edge=z0,           # last evaluated leaf (integration edge)
-        v_edge=vel0,
         s_zfirst=z0,         # first evaluated leaf of the subtree
         s_vfirst=vel0,
         s_rho=zeros_d,
@@ -176,7 +175,6 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         v = jnp.where(start, v_draw, st["v"])
         fwd = v > 0
         z_start_edge = _where_z(fwd, st["t_zright"], st["t_zleft"])
-        v_start_edge = jnp.where(fwd, st["t_vright"], st["t_vleft"])
         z_edge = _where_z(start, z_start_edge, st["z_edge"])
         s_rho = jnp.where(start, zeros_d, st["s_rho"])
         s_w = jnp.where(start, sub_w0, st["s_w"])
@@ -386,7 +384,6 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             v=v,
             leaf=sel(complete, 0, i + 1),
             z_edge=z_new,
-            v_edge=vel_new,
             s_zfirst=s_zfirst,
             s_vfirst=s_vfirst,
             s_rho=s_rho,

@@ -10,6 +10,7 @@ from .integrator import (
     transition_rmhmc,
 )
 from .relativistic import rand_momentum_relativistic
+from .sampler import sample_rmhmc
 
 __all__ = [
     "DenseRiemannianMetric",
@@ -22,4 +23,5 @@ __all__ = [
     "generalized_leapfrog_step",
     "transition_rmhmc",
     "rand_momentum_relativistic",
+    "sample_rmhmc",
 ]

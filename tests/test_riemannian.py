@@ -175,3 +175,20 @@ def test_relativistic_momentum_distribution():
                   np.asarray(r2))
     u2 = np.sqrt(q)
     assert abs(u2.mean() - mean_expected) < 0.1 * mean_expected
+
+
+def test_sample_rmhmc_banana():
+    """One-call RMHMC loop on the banana posterior with step-size DA."""
+    from advancedhmc_tpu.riemannian import sample_rmhmc
+
+    target = banana()
+    thetas, stats, _ = sample_rmhmc(
+        jax.random.PRNGKey(10), target, jnp.zeros(2, jnp.float64),
+        n_samples=150, n_leapfrog=6, step_size=0.2, n_fp=5,
+        map_cfg=SoftAbsMap(1.0), n_adapts=50, n_chains=4,
+    )
+    assert thetas.shape == (150, 4, 2)
+    draws = np.asarray(thetas[50:]).reshape(-1, 2)
+    assert np.isfinite(draws).all()
+    acc = float(np.asarray(stats["acceptance_rate"][50:]).mean())
+    assert acc > 0.5
