@@ -99,3 +99,30 @@ def test_find_good_stepsize_reasonable():
     eps = float(find_good_stepsize(jax.random.PRNGKey(5), h,
                                    jnp.zeros(10, jnp.float64)))
     assert 0.1 < eps < 3.0
+
+
+def test_correlated_gaussian_static_hmc_dense():
+    """BASELINE config 2 exactly: static HMC with jittered and tempered
+    leapfrog on a correlated Gaussian, dense Euclidean metric."""
+    from advancedhmc_tpu import (
+        AdaptorConfig, FixedNSteps, HMCKernel, JitteredLeapfrog,
+        TemperedLeapfrog, Trajectory, sample,
+    )
+
+    target = correlated_gaussian(4, rho=0.7)
+    for integ in (
+        JitteredLeapfrog.create(jnp.asarray(0.2, jnp.float64), 0.3),
+        TemperedLeapfrog(step_size=jnp.asarray(0.2, jnp.float64), alpha=1.05),
+    ):
+        kernel = HMCKernel(Trajectory(integ, FixedNSteps(12), "endpoint"))
+        res = sample(
+            jax.random.PRNGKey(6), target, kernel,
+            make_metric("dense", 4, dtype=jnp.float64),
+            jnp.zeros(4, jnp.float64), 2500, n_adapts=1000,
+            adaptor=AdaptorConfig(kind="stan", mm_kind="welford_cov"),
+            init_eps=0.2, n_chains=4,
+        )
+        draws = np.asarray(res.thetas[1000:]).reshape(-1, 4)
+        assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+        emp_cov = np.cov(draws.T)
+        np.testing.assert_allclose(emp_cov, np.asarray(target.cov), atol=0.45)
