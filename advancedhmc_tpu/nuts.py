@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from .hamiltonian import Hamiltonian, PhasePoint
 from .integrators import leapfrog_step
+from .metrics import DiagEuclideanMetric, UnitEuclideanMetric
 from .termination import (
     MULTINOMIAL,
     SLICE,
@@ -92,6 +93,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     max_depth = int(criterion.max_depth)
     is_classic = isinstance(criterion, ClassicNoUTurn)
     is_strict = isinstance(criterion, StrictGeneralisedNoUTurn)
+    # Unit/diag metrics recompute M⁻¹r from checkpointed r at check time
+    # instead of carrying velocity stacks (cuts hot-loop carry traffic ~1/3).
+    cheap_vel = isinstance(h.metric, (UnitEuclideanMetric, DiagEuclideanMetric))
 
     dim = z0.theta.shape[-1]
     dtype = z0.theta.dtype
@@ -148,10 +152,10 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # --- checkpoint stacks (unused ones collapse to scalars) ---
         ck_theta=stack if is_classic else jnp.zeros((), dtype),
         ck_r=stack,
-        ck_vel=stack,
+        ck_vel=jnp.zeros((), dtype) if cheap_vel else stack,
         ck_cum=stack,
         ck_odd_r=stack if is_strict else jnp.zeros((), dtype),
-        ck_odd_vel=stack if is_strict else jnp.zeros((), dtype),
+        ck_odd_vel=stack if (is_strict and not cheap_vel) else jnp.zeros((), dtype),
     )
 
     def cond(st):
@@ -243,7 +247,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # matmul is fully parallel (and MXU-able).
         sel_a = (slot_a[:, None] == jnp.arange(max_depth)[None, :]).astype(dtype)
         r_a = sel_a @ ck_r                                        # (K, D)
-        vel_a = sel_a @ ck_vel
+        vel_a = jax.vmap(h.velocity)(r_a) if cheap_vel else sel_a @ ck_vel
         cum_a = sel_a @ ck_cum
         rho_span = s_rho[None, :] - cum_a + r_a                  # (K, D)
         if is_classic:
@@ -260,10 +264,14 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             # mid = a + 2^{k-1} - 1 (odd); mid+1 even — both live at slot k-1,
             # i.e. the contiguous prefix rows [0:K) of the stacks.
             r_m1 = ck_r[: max_depth - 1]
-            vel_m1 = ck_vel[: max_depth - 1]
             cum_m1 = ck_cum[: max_depth - 1]
             r_m = ck_odd_r[: max_depth - 1]
-            vel_m = ck_odd_vel[: max_depth - 1]
+            if cheap_vel:
+                vel_m1 = jax.vmap(h.velocity)(r_m1)
+                vel_m = jax.vmap(h.velocity)(r_m)
+            else:
+                vel_m1 = ck_vel[: max_depth - 1]
+                vel_m = ck_odd_vel[: max_depth - 1]
             rho_h1 = (cum_m1 - r_m1) - cum_a + r_a               # visits a..mid
             rho_h2 = s_rho[None, :] - cum_m1 + r_m1              # visits mid+1..i
             dot = lambda x, y: jnp.einsum("kd,kd->k", x, y)
@@ -298,11 +306,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         if is_classic:
             ck_theta = jnp.where(mask_even, z_new.theta[None, :], ck_theta)
         ck_r = jnp.where(mask_even, z_new.r[None, :], ck_r)
-        ck_vel = jnp.where(mask_even, vel_new[None, :], ck_vel)
+        if not cheap_vel:
+            ck_vel = jnp.where(mask_even, vel_new[None, :], ck_vel)
         ck_cum = jnp.where(mask_even, s_rho[None, :], ck_cum)
         if is_strict:
             ck_odd_r = jnp.where(mask_odd, z_new.r[None, :], ck_odd_r)
-            ck_odd_vel = jnp.where(mask_odd, vel_new[None, :], ck_odd_vel)
+            if not cheap_vel:
+                ck_odd_vel = jnp.where(mask_odd, vel_new[None, :], ck_odd_vel)
 
         # --- is the current doubling finished? ---
         n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), st["depth"])
