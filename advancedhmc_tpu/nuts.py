@@ -76,7 +76,7 @@ def _uturn_classic(dtheta_tree, vel_l, vel_r):
 
 def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     force_directions=None, return_debug=False,
-                    coupled_key=None):
+                    coupled_key=None, _return_machinery=False):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
@@ -117,38 +117,48 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     vel0 = h.velocity(z0.r)
     zeros_d = jnp.zeros((dim,), dtype)
     stack = jnp.zeros((max_depth, dim), dtype)
+    edtype = jnp.result_type(h0)
+
+    def fresh_fields(z_init, h0_init, lu_init):
+        """Per-transition tree/subtree fields for a fresh transition starting
+        at z_init. Checkpoint stacks are intentionally excluded: every slot is
+        written before it is read within a new doubling."""
+        v_init = h.velocity(z_init.r)
+        return dict(
+            h0=h0_init,
+            lu=lu_init,
+            t_zleft=z_init,
+            t_zright=z_init,
+            t_vleft=v_init,
+            t_vright=v_init,
+            t_rho=z_init.r,
+            zcand=z_init,
+            t_w=top_w0,
+            sum_alpha=jnp.asarray(0.0, dtype),
+            n_alpha=jnp.asarray(0, jnp.int32),
+            dh_max=jnp.asarray(0.0, edtype),
+            depth=jnp.asarray(0, jnp.int32),
+            turning=jnp.asarray(False),
+            diverged=jnp.asarray(False),
+            done=jnp.asarray(False),
+            v=jnp.asarray(1, jnp.int32),
+            leaf=jnp.asarray(0, jnp.int32),
+            z_edge=z_init,
+            s_zfirst=z_init,
+            s_vfirst=v_init,
+            s_rho=zeros_d,
+            s_w=sub_w0,
+            s_zcand=z_init,
+            s_sum_alpha=jnp.asarray(0.0, dtype),
+            s_n_alpha=jnp.asarray(0, jnp.int32),
+            s_dh_max=jnp.asarray(0.0, edtype),
+            s_turning=jnp.asarray(False),
+            s_diverged=jnp.asarray(False),
+        )
 
     state = dict(
         key=key,
-        # --- top-level tree (ref BinaryTree, trajectory.jl:512-519) ---
-        t_zleft=z0,
-        t_zright=z0,
-        t_vleft=vel0,
-        t_vright=vel0,
-        t_rho=z0.r,
-        zcand=z0,
-        t_w=top_w0,
-        sum_alpha=jnp.asarray(0.0, dtype),
-        n_alpha=jnp.asarray(0, jnp.int32),
-        dh_max=jnp.asarray(0.0, jnp.result_type(h0)),
-        depth=jnp.asarray(0, jnp.int32),
-        turning=jnp.asarray(False),
-        diverged=jnp.asarray(False),
-        done=jnp.asarray(False),
-        # --- doubling-local subtree ---
-        v=jnp.asarray(1, jnp.int32),
-        leaf=jnp.asarray(0, jnp.int32),
-        z_edge=z0,           # last evaluated leaf (integration edge)
-        s_zfirst=z0,         # first evaluated leaf of the subtree
-        s_vfirst=vel0,
-        s_rho=zeros_d,
-        s_w=sub_w0,
-        s_zcand=z0,
-        s_sum_alpha=jnp.asarray(0.0, dtype),
-        s_n_alpha=jnp.asarray(0, jnp.int32),
-        s_dh_max=jnp.asarray(0.0, jnp.result_type(h0)),
-        s_turning=jnp.asarray(False),
-        s_diverged=jnp.asarray(False),
+        eps=eps * jnp.ones((), dtype),
         # --- checkpoint stacks (unused ones collapse to scalars) ---
         ck_theta=stack if is_classic else jnp.zeros((), dtype),
         ck_r=stack,
@@ -156,7 +166,12 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         ck_cum=stack,
         ck_odd_r=stack if is_strict else jnp.zeros((), dtype),
         ck_odd_vel=stack if (is_strict and not cheap_vel) else jnp.zeros((), dtype),
+        **fresh_fields(z0, h0, lu),
     )
+
+    if _return_machinery:
+        # internal hook for nuts_transitions_fused: expose the loop pieces
+        pass
 
     def cond(st):
         return jnp.logical_not(st["done"])
@@ -164,6 +179,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     def body(st):
         key, k_dir, k_res, k_mh = jax.random.split(st["key"], 4)
         start = st["leaf"] == 0
+        eps = st["eps"]
+        h0 = st["h0"]
+        lu = st["lu"]
 
         # --- begin a new doubling: draw direction, pick edge, reset subtree ---
         if force_directions is None and coupled_key is not None:
@@ -377,6 +395,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         sel = lambda p, a, b: jnp.where(p, a, b)
         out = dict(
             key=key,
+            eps=st["eps"],
+            h0=st["h0"],
+            lu=st["lu"],
             t_zleft=_where_z(complete, c_zleft, st["t_zleft"]),
             t_zright=_where_z(complete, c_zright, st["t_zright"]),
             t_vleft=sel(complete, c_vleft, st["t_vleft"]),
@@ -413,6 +434,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         )
         return out
 
+    if _return_machinery:
+        return state, cond, body, fresh_fields
+
     final = jax.lax.while_loop(cond, body, state)
 
     zcand = final["zcand"]
@@ -435,3 +459,126 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     if return_debug:
         return zcand, stats, final
     return zcand, stats
+
+
+def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
+                           n_transitions: int, refreshment):
+    """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
+
+    Chains advance through their own transition sequences asynchronously, so
+    the vmapped loop's wasted-lane factor drops from mean/max of a SINGLE
+    tree size to mean/max of the SUM of `n_transitions` tree sizes (law of
+    large numbers) — the main utilisation lever for many-chain NUTS on TPU
+    (PERF.md). Draw-phase only: adaptation state is frozen; momentum refresh,
+    per-trajectory step-size jitter, and the slice variable are re-drawn at
+    every transition boundary inside the loop, exactly matching the
+    per-transition semantics of the scan path (ref sampler.jl:48-58).
+
+    Returns (z_final, thetas (n_transitions, dim), stats dict of
+    (n_transitions,)) for a single chain; vmap for a batch.
+    """
+    ts = traj.ts_kind
+    integ = traj.integrator
+    dim = z0.theta.shape[-1]
+    dtype = z0.theta.dtype
+
+    key, k_ref0 = jax.random.split(key)
+    z_start = refreshment.refresh(k_ref0, h, z0)
+
+    state, cond, body, fresh_fields = nuts_transition(
+        key, h, traj, z_start, _return_machinery=True
+    )
+    edtype = jnp.result_type(state["h0"])
+    t_count = n_transitions
+
+    fstate = dict(
+        state,
+        t=jnp.asarray(0, jnp.int32),
+        all_done=jnp.asarray(False),
+        out_theta=jnp.zeros((t_count, dim), dtype),
+        out_n_steps=jnp.zeros((t_count,), jnp.int32),
+        out_alpha=jnp.zeros((t_count,), dtype),
+        out_logdensity=jnp.zeros((t_count,), edtype),
+        out_energy=jnp.zeros((t_count,), edtype),
+        out_energy_error=jnp.zeros((t_count,), edtype),
+        out_dh_max=jnp.zeros((t_count,), edtype),
+        out_depth=jnp.zeros((t_count,), jnp.int32),
+        out_diverged=jnp.zeros((t_count,), bool),
+        out_eps=jnp.zeros((t_count,), dtype),
+    )
+    inner_keys = list(state.keys())
+
+    def fcond(st):
+        return jnp.logical_not(st["all_done"])
+
+    def fbody(st):
+        st2 = body({k: st[k] for k in inner_keys})
+        boundary = st2["done"]
+        t = st["t"]
+        onehot = (jnp.arange(t_count) == t) & boundary
+
+        zc = st2["zcand"]
+        energy = zc.energy()
+        n_alpha = st2["n_alpha"]
+        rec = lambda buf, val: jnp.where(onehot, val, buf)
+        out = dict(
+            out_theta=jnp.where(onehot[:, None], zc.theta[None, :],
+                                st["out_theta"]),
+            out_n_steps=rec(st["out_n_steps"], n_alpha),
+            out_alpha=rec(st["out_alpha"],
+                          st2["sum_alpha"]
+                          / jnp.maximum(n_alpha.astype(dtype), 1.0)),
+            out_logdensity=rec(st["out_logdensity"], zc.logdensity),
+            out_energy=rec(st["out_energy"], energy),
+            out_energy_error=rec(st["out_energy_error"], energy - st2["h0"]),
+            out_dh_max=rec(st["out_dh_max"], st2["dh_max"]),
+            out_depth=rec(st["out_depth"], st2["depth"]),
+            out_diverged=rec(st["out_diverged"], st2["diverged"]),
+            out_eps=rec(st["out_eps"], st2["eps"]),
+        )
+
+        t_new = jnp.where(boundary, t + 1, t)
+        all_done = t_new >= t_count
+
+        # --- prepare the next transition (masked) ---
+        key2, k_ref, k_slice, k_jit = jax.random.split(st2["key"], 4)
+        z_next = refreshment.refresh(k_ref, h, zc)
+        h0n = z_next.energy()
+        if ts == SLICE:
+            lun = -h0n - rand_exponential(k_slice, dtype=edtype)
+        else:
+            lun = jnp.zeros_like(h0n)
+        eps_next = integ.jitter(k_jit).current_step_size
+
+        fresh = fresh_fields(z_next, h0n, lun)
+        reset = boundary & jnp.logical_not(all_done)
+        merged = {}
+        for k in inner_keys:
+            if k == "key":
+                merged[k] = key2
+            elif k == "eps":
+                merged[k] = jnp.where(reset, eps_next, st2["eps"])
+            elif k in fresh:
+                merged[k] = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(reset, a, b), fresh[k], st2[k]
+                )
+            else:
+                merged[k] = st2[k]
+        return dict(merged, t=t_new, all_done=all_done, **out)
+
+    final = jax.lax.while_loop(fcond, fbody, fstate)
+
+    stats = {
+        "n_steps": final["out_n_steps"],
+        "is_accept": jnp.ones((t_count,), bool),
+        "acceptance_rate": final["out_alpha"],
+        "log_density": final["out_logdensity"],
+        "hamiltonian_energy": final["out_energy"],
+        "hamiltonian_energy_error": final["out_energy_error"],
+        "max_hamiltonian_energy_error": final["out_dh_max"],
+        "tree_depth": final["out_depth"],
+        "numerical_error": final["out_diverged"],
+        "step_size": final["out_eps"],
+        "nom_step_size": jnp.broadcast_to(integ.nom_step_size, (t_count,)),
+    }
+    return final["zcand"], final["out_theta"], stats

@@ -40,7 +40,7 @@ from .adaptation import (
 from .hamiltonian import Hamiltonian, PhasePoint
 from .kinetic import GaussianKinetic
 from .metrics import Metric
-from .nuts import nuts_transition
+from .nuts import nuts_transition, nuts_transitions_fused
 from .stepsize_search import find_good_stepsize
 from .target import LogDensityTarget
 from .termination import DynamicTerminationCriterion
@@ -92,6 +92,52 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
     if isinstance(traj.criterion, DynamicTerminationCriterion):
         return nuts_transition(k_tr, h, traj, z, coupled_key=coupled_key)
     return transition_static(k_tr, h, traj, z, coupled_key=coupled_key)
+
+
+def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
+                     fuse: int):
+    """Post-warmup draws with `fuse` transitions per while-loop invocation.
+
+    Chains run their own transition sequences asynchronously inside each
+    fused block (see nuts_transitions_fused), cutting the vmapped loop's
+    max-over-chains synchronisation waste. Adaptation is frozen (identical to
+    the scan path where is_adapt=False makes adapt a no-op).
+    """
+    per_chain = not spec.cross_chain
+    n_chains = state.z.theta.shape[0]
+    assert n_draws % fuse == 0, "fuse_draws must divide the draw count"
+    batch_axis = 0 if per_chain else None
+
+    def one_chain(key, metric, eps, z):
+        h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
+        integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
+        traj = spec.kernel.trajectory.replace(integrator=integ)
+        return nuts_transitions_fused(
+            key, h, traj, z, fuse, spec.kernel.refreshment
+        )
+
+    def outer(st, _):
+        key, k_step = jax.random.split(st.key)
+        keys = jax.random.split(k_step, n_chains)
+        z_last, ths, stats = jax.vmap(
+            one_chain, in_axes=(0, batch_axis, batch_axis, 0)
+        )(keys, st.metric, st.adapt.da.eps, st.z)
+        new_st = st.replace(
+            iteration=st.iteration + fuse, z=z_last, key=key
+        )
+        # (C, fuse, …) → (fuse, C, …)
+        ths = jnp.swapaxes(ths, 0, 1)
+        stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}
+        stats["is_adapt"] = jnp.zeros_like(stats["numerical_error"])
+        return new_st, (ths, stats)
+
+    state, (thetas, stats) = jax.lax.scan(
+        outer, state, None, length=n_draws // fuse
+    )
+    # (outer, fuse, C, …) → (n_draws, C, …)
+    thetas = thetas.reshape((n_draws,) + thetas.shape[2:])
+    stats = {k: v.reshape((n_draws,) + v.shape[2:]) for k, v in stats.items()}
+    return state, thetas, stats
 
 
 def sample_step(spec: SampleSpec, state: HMCState, flags) -> tuple:
@@ -223,6 +269,7 @@ def sample(
     n_chains: Optional[int] = None,
     cross_chain: bool = False,
     coupled: bool = False,
+    fuse_draws: int = 0,
     drop_warmup: bool = False,
     collect_warmup_stats: bool = True,
     mesh=None,
@@ -297,7 +344,41 @@ def sample(
 
     n_keep = n_samples - (n_adapts if drop_warmup else 0)
     warmup_stats = None
-    if drop_warmup and n_adapts > 0:
+    n_draw_steps = n_samples - n_adapts
+    use_fused = (
+        fuse_draws > 1
+        and isinstance(kernel.trajectory.criterion, DynamicTerminationCriterion)
+        and not coupled
+        and n_draw_steps > 0
+        and n_draw_steps % fuse_draws == 0
+    )
+    if use_fused:
+        warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
+        if n_adapts > 0:
+            if drop_warmup:
+                warm_step = step_stats_only if collect_warmup_stats else (
+                    lambda s, f: (sample_step(spec, s, f)[0], None)
+                )
+                state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
+                warm_thetas = None
+            else:
+                state, (warm_thetas, warm_stats) = jax.lax.scan(
+                    step_collect, state, warm_flags
+                )
+        else:
+            warm_thetas = None
+        state, thetas, stats = fused_draw_phase(
+            spec, state, n_draw_steps, fuse_draws
+        )
+        if not drop_warmup and n_adapts > 0:
+            thetas = jnp.concatenate([warm_thetas, thetas], axis=0)
+            stats = {
+                k: jnp.concatenate(
+                    [warm_stats[k].astype(stats[k].dtype), stats[k]], axis=0
+                )
+                for k in stats
+            }
+    elif drop_warmup and n_adapts > 0:
         warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
         draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
         warm_step = step_stats_only if collect_warmup_stats else (

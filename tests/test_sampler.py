@@ -199,3 +199,47 @@ def test_cross_chain_adaptation():
     np.testing.assert_allclose(m_inv, np.asarray(scales), rtol=0.35)
     draws = np.asarray(res.thetas[500:]).reshape(-1, D)
     assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+
+
+def test_fused_draws_equivalent_moments():
+    """fuse_draws path (async multi-transition while-loop) matches the scan
+    path's posterior moments and stat structure."""
+    kernel, metric_kind, adaptor, n_adapts = CASES["nuts_mult_generalised_stan"]
+    d_scan, res_scan = _run(kernel, metric_kind, adaptor, n=1500,
+                            n_adapts=500, seed=99, init_eps=0.25)
+    metric = make_metric(metric_kind, D, dtype=jnp.float64)
+    res_fused = sample(
+        jax.random.PRNGKey(99), TARGET, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1500, n_adapts=500, adaptor=adaptor,
+        init_eps=0.25, n_chains=4, fuse_draws=25,
+    )
+    d_fused = np.asarray(res_fused.thetas[500:]).reshape(-1, D)
+    assert np.linalg.norm(d_fused.mean(axis=0)) < RNDATOL
+    np.testing.assert_allclose(d_fused.var(axis=0), np.ones(D), atol=0.35)
+    # moment agreement between paths within MC error
+    np.testing.assert_allclose(d_fused.var(axis=0), d_scan.var(axis=0),
+                               atol=0.3)
+    assert set(res_fused.stats) == set(res_scan.stats)
+    # tree statistics in the same regime
+    assert abs(float(np.asarray(res_fused.stats["tree_depth"][500:]).mean())
+               - float(np.asarray(res_scan.stats["tree_depth"][500:]).mean())) < 1.0
+
+
+def test_fused_draws_slice_and_jittered():
+    """Fused path with slice sampling + jittered step size."""
+    kernel = HMCKernel(
+        Trajectory(JitteredLeapfrog.create(jnp.asarray(0.3, jnp.float64), 0.2),
+                   ClassicNoUTurn(max_depth=6), "slice")
+    )
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(7), TARGET, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1000, adaptor=NO_ADAPT,
+        init_eps=0.3, n_chains=4, fuse_draws=20,
+    )
+    draws = np.asarray(res.thetas[200:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+    np.testing.assert_allclose(draws.var(axis=0), np.ones(D), atol=0.35)
+    # jitter visible in recorded per-transition step sizes
+    eps = np.asarray(res.stats["step_size"])
+    assert eps.std() > 1e-3
