@@ -52,7 +52,8 @@ def main():
     n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 500))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
-    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 8))
+    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 32))
+    fuse = int(os.environ.get("AHMC_BENCH_FUSE", 32))
 
     model = os.environ.get("AHMC_BENCH_MODEL", "logistic")
     if model == "gaussian":
@@ -100,12 +101,19 @@ def main():
             return new_st, stats["n_steps"]
         return jax.lax.scan(body, state, flags)
 
+    from advancedhmc_tpu.sampler import fused_draw_phase
+
     @jax.jit
     def run_chunk_collect(state, flags):
         def body(st, f):
             new_st, stats = sample_step(spec, st, f)
             return new_st, (new_st.z.theta, stats["n_steps"])
         return jax.lax.scan(body, state, flags)
+
+    @jax.jit
+    def run_chunk_fused(state):
+        new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse)
+        return new_st, (thetas, stats["n_steps"])
 
     # --- warmup (chunked, untimed beyond wall) ---
     t0 = time.time()
@@ -123,7 +131,10 @@ def main():
     steps_chunks = []
     t0 = time.time()
     for start in range(n_warmup, n_warmup + n_draws, chunk):
-        state, (th, ns) = run_chunk_collect(state, chunk_flags(start, chunk))
+        if fuse > 1:
+            state, (th, ns) = run_chunk_fused(state)
+        else:
+            state, (th, ns) = run_chunk_collect(state, chunk_flags(start, chunk))
         thetas_chunks.append(th)
         steps_chunks.append(ns)
     jax.block_until_ready(thetas_chunks[-1])
@@ -155,6 +166,7 @@ def main():
         "sampling_s": round(t_draw, 2),
         "median_pooled_ess": round(float(np.median(ess)), 1),
         "init_step_size": round(eps0, 5),
+        "fuse": fuse,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
