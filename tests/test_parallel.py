@@ -91,3 +91,26 @@ def test_output_sharding_propagates():
     spec = getattr(shard, "spec", None)
     assert spec is not None
     assert "chains" in str(spec)
+
+
+def test_mesh_with_fused_draws():
+    """Sharded chains + fused async draw phase compile and execute."""
+    res = _run_fused(mesh_of_all_devices())
+    assert np.isfinite(np.asarray(res.thetas)).all()
+    draws = np.asarray(res.thetas[20:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < 0.8
+
+
+def _run_fused(mesh):
+    target = std_gaussian(D)
+    kernel = HMCKernel(
+        Trajectory(Leapfrog(step_size=jnp.asarray(0.4, jnp.float64)),
+                   GeneralisedNoUTurn(max_depth=6), "multinomial")
+    )
+    return sample(
+        jax.random.PRNGKey(3), target, kernel,
+        make_metric("diagonal", D, dtype=jnp.float64),
+        jnp.zeros((N_CHAINS, D), jnp.float64), 80, n_adapts=40,
+        adaptor=AdaptorConfig(kind="stan"), init_eps=0.4,
+        cross_chain=True, mesh=mesh, fuse_draws=20,
+    )
