@@ -6,6 +6,7 @@ banana, gdemo, hierarchical logistic regression.
 from .gaussian import correlated_gaussian, mvn_diag, std_gaussian
 from .funnel import neal_funnel
 from .banana import banana
+from .eight_schools import eight_schools
 from .gdemo import GDEMO_MEAN, gdemo
 from .logistic import german_credit_logistic, hierarchical_logistic
 
@@ -16,6 +17,7 @@ __all__ = [
     "neal_funnel",
     "banana",
     "gdemo",
+    "eight_schools",
     "GDEMO_MEAN",
     "hierarchical_logistic",
     "german_credit_logistic",

@@ -255,6 +255,29 @@ class SampleResult:
     def n_chains(self):
         return self.thetas.shape[1]
 
+    def to_inference_dict(self):
+        """ArviZ-convention export: posterior (chain, draw, dim) +
+        sample_stats — the analogue of the MCMCChains `bundle_samples`
+        extension (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl:7-43)."""
+        import numpy as np
+
+        posterior = {"theta": np.moveaxis(np.asarray(self.thetas), 0, 1)}
+        rename = {
+            "log_density": "lp",
+            "numerical_error": "diverging",
+            "acceptance_rate": "acceptance_rate",
+            "hamiltonian_energy": "energy",
+            "tree_depth": "tree_depth",
+            "n_steps": "n_steps",
+            "step_size": "step_size",
+        }
+        sample_stats = {
+            new: np.moveaxis(np.asarray(self.stats[old]), 0, 1)
+            for old, new in rename.items()
+            if old in self.stats
+        }
+        return {"posterior": posterior, "sample_stats": sample_stats}
+
 
 def sample(
     key,

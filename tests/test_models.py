@@ -126,3 +126,20 @@ def test_correlated_gaussian_static_hmc_dense():
         assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
         emp_cov = np.cov(draws.T)
         np.testing.assert_allclose(emp_cov, np.asarray(target.cov), atol=0.45)
+
+
+def test_eight_schools():
+    from advancedhmc_tpu.models import eight_schools
+
+    target = eight_schools()
+    res = NUTS(0.9).sample(
+        jax.random.PRNGKey(8), target, jnp.zeros(10, jnp.float64),
+        2000, n_adapts=1000, n_chains=4, dtype=jnp.float64, fuse_draws=25,
+    )
+    draws = np.asarray(res.thetas[1000:]).reshape(-1, 10)
+    mu = draws[:, 0]
+    # posterior mean of mu ≈ 4.4 (well-known); generous MC tolerance
+    assert abs(mu.mean() - 4.4) < 1.5
+    d = res.to_inference_dict()
+    assert d["posterior"]["theta"].shape == (4, 2000, 10)
+    assert "diverging" in d["sample_stats"]
