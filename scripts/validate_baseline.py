@@ -1,0 +1,134 @@
+"""End-to-end validation of the five BASELINE.md configs on real TPU (f32).
+
+Asserts posterior moments / acceptance statistics within Monte-Carlo error,
+per the driver targets (BASELINE.md 'match reference posterior moments...').
+Writes a summary to stdout; run exclusively on the TPU.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import advancedhmc_tpu as ahmc
+from advancedhmc_tpu.models import (
+    banana, correlated_gaussian, german_credit_logistic, neal_funnel,
+    std_gaussian,
+)
+
+RESULTS = {}
+
+
+def record(name, ok, detail):
+    RESULTS[name] = {"ok": bool(ok), **detail}
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}", flush=True)
+
+
+def config1():
+    """10-D std MVN, NUTS(0.8), diag metric, 2000 adapt + 1000 draws."""
+    target = std_gaussian(10)
+    res = ahmc.NUTS(0.8).sample(
+        jax.random.PRNGKey(1), target, jnp.zeros(10, jnp.float32),
+        3000, n_adapts=2000, n_chains=256, cross_chain=True,
+        fuse_draws=20, drop_warmup=True,
+    )
+    draws = np.asarray(res.thetas).reshape(-1, 10)
+    mean, var = draws.mean(0), draws.var(0)
+    acc = float(np.asarray(res.stats["acceptance_rate"]).mean())
+    ok = (np.abs(mean).max() < 0.05) and (np.abs(var - 1).max() < 0.06) \
+        and 0.7 < acc < 0.99
+    record("mvn10_nuts", ok, dict(max_abs_mean=float(np.abs(mean).max()),
+                                  max_var_err=float(np.abs(var - 1).max()),
+                                  accept=acc))
+
+
+def config2():
+    """Correlated Gaussian, static HMC jittered+tempered, dense metric."""
+    target = correlated_gaussian(8, rho=0.7)
+    for name, integ in (
+        ("jittered", ahmc.JitteredLeapfrog.create(jnp.asarray(0.15, jnp.float32), 0.3)),
+        ("tempered", ahmc.TemperedLeapfrog(step_size=jnp.asarray(0.15, jnp.float32),
+                                           alpha=1.05)),
+    ):
+        kernel = ahmc.HMCKernel(
+            ahmc.Trajectory(integ, ahmc.FixedNSteps(16), "endpoint"))
+        res = ahmc.sample(
+            jax.random.PRNGKey(2), target, kernel,
+            ahmc.make_metric("dense", 8),
+            jnp.zeros(8, jnp.float32), 3000, n_adapts=1500,
+            adaptor=ahmc.AdaptorConfig(kind="stan", mm_kind="welford_cov"),
+            init_eps=0.15, n_chains=256, cross_chain=True, drop_warmup=True,
+        )
+        draws = np.asarray(res.thetas).reshape(-1, 8)
+        cov_err = np.abs(np.cov(draws.T) - np.asarray(target.cov)).max()
+        ok = np.abs(draws.mean(0)).max() < 0.06 and cov_err < 0.15
+        record(f"corr_gauss_dense_{name}", ok,
+               dict(max_abs_mean=float(np.abs(draws.mean(0)).max()),
+                    max_cov_err=float(cov_err)))
+
+
+def config3():
+    """10-D Neal funnel, multinomial NUTS + full Stan windowed adaptation."""
+    target = neal_funnel(10)
+    res = ahmc.NUTS(0.9).sample(
+        jax.random.PRNGKey(3), target, jnp.zeros(10, jnp.float32),
+        3000, n_adapts=1500, n_chains=1024, cross_chain=True,
+        fuse_draws=30, drop_warmup=True,
+    )
+    v = np.asarray(res.thetas[..., 0]).ravel()
+    ok = abs(v.mean()) < 0.35 and abs(v.std() - 3.0) < 0.5
+    record("funnel10_nuts", ok, dict(v_mean=float(v.mean()),
+                                     v_std=float(v.std())))
+
+
+def config4():
+    """German-credit hierarchical logistic, 4096 chains, cross-chain adapt."""
+    target = german_credit_logistic()
+    res = ahmc.NUTS(0.8, max_depth=8).sample(
+        jax.random.PRNGKey(4), target, jnp.zeros(target.dim, jnp.float32),
+        700, n_adapts=500, n_chains=4096, cross_chain=True,
+        fuse_draws=20, drop_warmup=True,
+    )
+    rhat = np.asarray(ahmc.split_rhat(res.thetas))
+    ess = np.asarray(ahmc.effective_sample_size(res.thetas[:, :256]))
+    acc = float(np.asarray(res.stats["acceptance_rate"]).mean())
+    ok = rhat.max() < 1.05 and 0.6 < acc < 0.99 and ess.min() > 1000
+    record("german_credit_4096", ok,
+           dict(max_rhat=float(rhat.max()), min_ess=float(ess.min()),
+                accept=acc))
+
+
+def config5():
+    """Banana posterior, Riemannian-SoftAbs + generalized leapfrog."""
+    from advancedhmc_tpu.riemannian import SoftAbsMap, sample_rmhmc
+
+    target = banana()
+    thetas, stats, _ = sample_rmhmc(
+        jax.random.PRNGKey(5), target, jnp.zeros(2, jnp.float32),
+        n_samples=400, n_leapfrog=8, step_size=0.15, n_fp=6,
+        map_cfg=SoftAbsMap(1.0), n_adapts=150, n_chains=64,
+    )
+    draws = np.asarray(thetas[150:]).reshape(-1, 2)
+    acc = float(np.asarray(stats["acceptance_rate"][150:]).mean())
+    # θ1 ~ N(0, 100): std ≈ 10
+    ok = np.isfinite(draws).all() and acc > 0.5 and abs(draws[:, 0].std() - 10) < 3
+    record("banana_rmhmc", ok, dict(accept=acc,
+                                    theta1_std=float(draws[:, 0].std())))
+
+
+def main():
+    t0 = time.time()
+    for fn in (config1, config2, config3, config4, config5):
+        fn()
+    print(json.dumps({"all_ok": all(r["ok"] for r in RESULTS.values()),
+                      "wall_s": round(time.time() - t0, 1),
+                      "results": RESULTS}))
+
+
+if __name__ == "__main__":
+    main()
