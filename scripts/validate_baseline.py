@@ -75,9 +75,11 @@ def config2():
 def config3():
     """10-D Neal funnel, multinomial NUTS + full Stan windowed adaptation."""
     target = neal_funnel(10)
-    res = ahmc.NUTS(0.9).sample(
+    # max_depth 8 keeps single-execution wall under the tunnel's ~2 min
+    # limit (the funnel drives trees to the depth cap during early warmup).
+    res = ahmc.NUTS(0.9, max_depth=8).sample(
         jax.random.PRNGKey(3), target, jnp.zeros(10, jnp.float32),
-        3000, n_adapts=1500, n_chains=1024, cross_chain=True,
+        2400, n_adapts=1200, n_chains=512, cross_chain=True,
         fuse_draws=30, drop_warmup=True,
     )
     v = np.asarray(res.thetas[..., 0]).ravel()
