@@ -62,3 +62,48 @@ def german_credit_logistic(dtype=jnp.float32) -> LogDensityTarget:
     """German-credit-shaped hierarchical logistic regression (synthetic data,
     1000 rows × 24 features → 25 parameters)."""
     return hierarchical_logistic(n=1000, p=24, seed=0, dtype=dtype)
+
+
+def hierarchical_logistic_block(n: int = 1000, p: int = 24, seed: int = 0,
+                                d_pad: int = 128):
+    """Block-form value_and_grad for the Pallas fused-NUTS megakernel.
+
+    Returns (fn, data) where fn(theta_block (B, d_pad), xt_ref, y_ref) →
+    ((B,1) logp, (B,d_pad) grad). Data layout: xt (d_pad, n) with row 0 zero
+    (slot of the log σ hyperparameter) and rows p+1.. zero padding; y (1, n).
+    """
+    import jax
+
+    x_np, y_np = _synthetic_data(n, p, seed)
+    xt = np.zeros((d_pad, n), np.float32)
+    xt[1:p + 1, :] = x_np.T
+    y = y_np.astype(np.float32)[None, :]
+
+    def fn(th, xt_ref, y_ref):
+        xt_m = xt_ref[:]                   # (d_pad, n)
+        y_m = y_ref[:]                     # (1, n)
+        log_sigma = th[:, :1]              # (B, 1)
+        inv_s2 = jnp.exp(-2.0 * log_sigma)
+        logits = jax.lax.dot_general(
+            th, xt_m, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                   # (B, n)
+        sig = jax.nn.sigmoid(logits)
+        loglik = jnp.sum(y_m * logits - jnp.logaddexp(0.0, logits),
+                         axis=1, keepdims=True)
+        beta_sq = jnp.sum(th * th, axis=1, keepdims=True) - log_sigma**2
+        lp = (-0.5 * log_sigma**2
+              - 0.5 * beta_sq * inv_s2 - p * log_sigma + loglik)
+        # gradient
+        resid = y_m - sig                   # (B, n)
+        grad_data = jax.lax.dot_general(
+            resid, xt_m, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                   # (B, d_pad)
+        grad_beta_prior = -th * inv_s2      # correct for beta dims; fix col 0
+        grad_ls = (-log_sigma + beta_sq * inv_s2 - p)
+        col0 = jax.lax.broadcasted_iota(jnp.int32, th.shape, 1) == 0
+        grad_prior = jnp.where(col0, grad_ls, grad_beta_prior)
+        return lp, grad_data + grad_prior
+
+    return fn, (jnp.asarray(xt), jnp.asarray(y))
