@@ -71,7 +71,10 @@ def _bits(ctr, shape, salt):
 def _uniform(ctr, shape, salt):
     """U(0,1) in (2^-24, 1] from 24 high bits."""
     u24 = jax.lax.shift_right_logical(_bits(ctr, shape, salt), jnp.uint32(8))
-    return (u24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+    # Mosaic lacks uint32→f32 casts; u24 < 2^24 is exactly representable
+    # through an int32 reinterpretation.
+    u24_i = jax.lax.bitcast_convert_type(u24, jnp.int32)
+    return (u24_i.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
 
 
 def _normal(ctr, shape, salt):
@@ -151,10 +154,8 @@ def make_fused_nuts_kernel(
         h0_init = -(lp0 + neg_kin(r0))
 
         zeros_bd = jnp.zeros((b, dp), jnp.float32)
-        zeros_b1 = jnp.zeros((b, 1), jnp.float32)
         izeros = jnp.zeros((b, 1), jnp.int32)
         fzeros = jnp.zeros((b, 1), jnp.float32)
-        bfalse = jnp.zeros((b, 1), jnp.bool_)
 
         neg_inf = jnp.float32(-jnp.inf)
 
@@ -170,15 +171,15 @@ def make_fused_nuts_kernel(
             # subtree first leaf
             th_f=th0, r_f=r0, g_f=g0,
             rho_t=r0, rho_s=zeros_bd,
-            ck_r=jnp.zeros((b, S, dp), jnp.float32),
-            ck_cum=jnp.zeros((b, S, dp), jnp.float32),
+            ck_r=tuple(zeros_bd for _ in range(S)),
+            ck_cum=tuple(zeros_bd for _ in range(S)),
             # scalars
             h0=h0_init,
             t_w=fzeros, s_w=jnp.full((b, 1), neg_inf),
             sum_alpha=fzeros, n_alpha=izeros,
             depth=izeros, leaf=izeros, v=jnp.ones((b, 1), jnp.int32),
-            done=bfalse, diverged=bfalse,
-            t=izeros, all_done=bfalse,
+            diverged=izeros,
+            t=izeros, all_done=izeros,
             it=jnp.zeros((), jnp.int32),
             ctr=jnp.ones((), jnp.int32),
         )
@@ -186,7 +187,9 @@ def make_fused_nuts_kernel(
         max_iters = jnp.int32(T * (2 ** S) + 16)
 
         def cond(c):
-            return jnp.logical_not(jnp.all(c["all_done"])) & (c["it"] < max_iters)
+            return jnp.logical_not(jnp.all(c["all_done"] != 0)) & (
+                c["it"] < max_iters
+            )
 
         def body(c):
             ctr = rng_base + c["ctr"]
@@ -242,7 +245,7 @@ def make_fused_nuts_kernel(
             # ---- U-turn checks over aligned spans (k = 1..K unrolled) ----
             i_even = (i % 2) == 0
             tones = _t_ones(i)
-            s_turning = bfalse
+            s_turning = izeros != 0  # (B, 1) all-False
             ck_r, ck_cum = c["ck_r"], c["ck_cum"]
             for k in range(1, K + 1):
                 span = 1 << k
@@ -255,8 +258,8 @@ def make_fused_nuts_kernel(
                 cum_a = zeros_bd
                 for s_idx in range(S):
                     m = (slot == s_idx).astype(jnp.float32)
-                    r_a = r_a + m * ck_r[:, s_idx, :]
-                    cum_a = cum_a + m * ck_cum[:, s_idx, :]
+                    r_a = r_a + m * ck_r[s_idx]
+                    cum_a = cum_a + m * ck_cum[s_idx]
                 rho_span = rho_s - cum_a + r_a
                 d1 = jnp.sum(rho_span * (r_a * m_inv), axis=1, keepdims=True)
                 d2 = jnp.sum(rho_span * vel_n, axis=1, keepdims=True)
@@ -268,12 +271,14 @@ def make_fused_nuts_kernel(
             # ---- store checkpoints (even leaves) ----
             tz_i = jnp.where(i == 0, S - 1,
                              jnp.minimum(_tz(jnp.maximum(i, 1)), S - 1))
-            for s_idx in range(S):
-                m = ((tz_i == s_idx) & i_even).astype(jnp.float32)
-                ck_r = ck_r.at[:, s_idx, :].set(
-                    m * r_n + (1.0 - m) * ck_r[:, s_idx, :])
-                ck_cum = ck_cum.at[:, s_idx, :].set(
-                    m * rho_s + (1.0 - m) * ck_cum[:, s_idx, :])
+            ck_r = tuple(
+                jnp.where((tz_i == s_idx) & i_even, r_n, ck_r[s_idx])
+                for s_idx in range(S)
+            )
+            ck_cum = tuple(
+                jnp.where((tz_i == s_idx) & i_even, rho_s, ck_cum[s_idx])
+                for s_idx in range(S)
+            )
 
             # ---- doubling complete? ----
             n_leaves = jnp.left_shift(jnp.int32(1), c["depth"])
@@ -313,7 +318,7 @@ def make_fused_nuts_kernel(
 
             c_w = jnp.logaddexp(c["t_w"], s_w)
             depth_new = c["depth"] + jnp.where(complete & not_term, 1, 0)
-            diverged_new = c["diverged"] | (complete & s_diverged)
+            diverged_new = (c["diverged"] != 0) | (complete & s_diverged)
             done_new = (complete & (sub_done | full_turn)) | (depth_new >= S)
 
             selv = lambda p, a_, b_: jnp.where(p, a_, b_)
@@ -339,15 +344,14 @@ def make_fused_nuts_kernel(
                 depth=depth_new,
                 leaf=selv(complete, 0, i + 1),
                 v=v,
-                done=done_new,
-                diverged=diverged_new,
+                diverged=diverged_new.astype(jnp.int32),
                 t=c["t"], all_done=c["all_done"],
                 it=c["it"] + 1,
                 ctr=c["ctr"] + 1,
             )
 
             # ---------- transition boundary ----------
-            boundary = done_new & jnp.logical_not(c["all_done"])
+            boundary = done_new & (c["all_done"] == 0)
             t = c["t"]
             t_new = jnp.where(boundary, t + 1, t)
             all_done = t_new >= T
@@ -375,27 +379,27 @@ def make_fused_nuts_kernel(
             nxt["n_alpha"] = jnp.where(reset, izeros, nxt["n_alpha"])
             nxt["depth"] = jnp.where(reset, izeros, nxt["depth"])
             nxt["leaf"] = jnp.where(reset, izeros, nxt["leaf"])
-            nxt["done"] = jnp.where(reset, bfalse, nxt["done"])
-            nxt["diverged"] = jnp.where(reset, bfalse, nxt["diverged"])
+            nxt["diverged"] = jnp.where(reset, 0, nxt["diverged"])
             nxt["e_c"] = jnp.where(reset, h0_new, nxt["e_c"])
 
             nxt["t"] = t_new
-            nxt["all_done"] = c["all_done"] | all_done
+            nxt["all_done"] = ((c["all_done"] != 0) | all_done).astype(jnp.int32)
 
             # record outputs at slot t (one-hot over T) when boundary fires
+            div_i = diverged_new.astype(jnp.int32)
             for t_idx in range(T):
-                mrec = (boundary & (t == t_idx)).astype(jnp.float32)
+                mi = boundary & (t == t_idx)              # (B, 1)
+                mrec = mi.astype(jnp.float32)
                 out_theta[:, t_idx, :] = (
                     mrec * nxt["th_c"]
                     + (1.0 - mrec) * out_theta[:, t_idx, :]
                 )
-                mi = (boundary & (t == t_idx))
-                out_nsteps[:, t_idx] = jnp.where(
-                    mi[:, 0], n_alpha[:, 0], out_nsteps[:, t_idx])
-                out_depth[:, t_idx] = jnp.where(
-                    mi[:, 0], depth_new[:, 0], out_depth[:, t_idx])
-                out_diverged[:, t_idx] = jnp.where(
-                    mi[:, 0], diverged_new[:, 0], out_diverged[:, t_idx])
+                out_nsteps[:, t_idx:t_idx + 1] = jnp.where(
+                    mi, n_alpha, out_nsteps[:, t_idx:t_idx + 1])
+                out_depth[:, t_idx:t_idx + 1] = jnp.where(
+                    mi, depth_new, out_depth[:, t_idx:t_idx + 1])
+                out_diverged[:, t_idx:t_idx + 1] = jnp.where(
+                    mi, div_i, out_diverged[:, t_idx:t_idx + 1])
 
             return nxt
 
@@ -449,7 +453,7 @@ def fused_nuts_pallas(
         jax.ShapeDtypeStruct((cp, T, dp), jnp.float32),
         jax.ShapeDtypeStruct((cp, T), jnp.int32),
         jax.ShapeDtypeStruct((cp, T), jnp.int32),
-        jax.ShapeDtypeStruct((cp, T), jnp.bool_),
+        jax.ShapeDtypeStruct((cp, T), jnp.int32),
     )
     out_theta, n_steps, depth, diverged = pl.pallas_call(
         functools.partial(kernel, n_transitions=T),
@@ -474,4 +478,5 @@ def fused_nuts_pallas(
 
     thetas = jnp.swapaxes(out_theta[:c, :, :d], 0, 1)     # (T, C, dim)
     return (thetas, jnp.swapaxes(n_steps[:c], 0, 1),
-            jnp.swapaxes(depth[:c], 0, 1), jnp.swapaxes(diverged[:c], 0, 1))
+            jnp.swapaxes(depth[:c], 0, 1),
+            jnp.swapaxes(diverged[:c], 0, 1).astype(bool))

@@ -126,7 +126,11 @@ def main():
                   f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t_warm = time.time() - t0
 
-    # --- timed sampling phase ---
+    # --- timed sampling phase (pre-compile excluded from timing) ---
+    if fuse > 1:
+        run_chunk_fused.lower(state).compile()
+    else:
+        run_chunk_collect.lower(state, chunk_flags(n_warmup, chunk)).compile()
     thetas_chunks = []
     steps_chunks = []
     t0 = time.time()
