@@ -58,7 +58,19 @@ class HMCState(struct.PyTreeNode):
 
     @property
     def position(self):
+        """getparams (≅ abstractmcmc.jl:33-38)."""
         return self.z.theta
+
+    def with_position(self, spec: "SampleSpec", theta):
+        """setparams!! — replace positions, recompute ℓπ/∇ℓπ, keep momenta
+        and cached ℓκ (≅ abstractmcmc.jl:40-45)."""
+        lp, grad = jax.vmap(spec.target.logdensity_and_grad)(theta)
+        z = self.z.replace(
+            theta=theta,
+            logdensity=jnp.where(jnp.isfinite(lp), lp, -jnp.inf),
+            grad=grad,
+        )
+        return self.replace(z=z)
 
 
 @dataclasses.dataclass(frozen=True)

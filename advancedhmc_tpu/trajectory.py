@@ -223,8 +223,9 @@ def _multinomial_proposal(key, h, traj: Trajectory, z: PhasePoint,
         done_dir=jnp.asarray(False),
     )
 
-    def body(carry, inp):
-        t, key_t = inp
+    def body(carry):
+        t = carry["t"]
+        key_t = jax.random.fold_in(key_scan, t)
         in_bwd = t < n_bwd
         switching = t == n_bwd  # first forward step restarts from the origin
         z_from = _select_phasepoint(switching, z, carry["z_edge"])
@@ -250,20 +251,23 @@ def _multinomial_proposal(key, h, traj: Trajectory, z: PhasePoint,
         alpha_new = jnp.where(jnp.isnan(alpha_new), 0.0, alpha_new)
         sum_alpha = carry["sum_alpha"] + jnp.where(active, alpha_new, 0.0)
         count = carry["count"] + jnp.where(active, 1.0, 0.0)
-        return (
-            dict(
-                z_edge=z_edge,
-                z_cand=z_cand,
-                logw=logw,
-                sum_alpha=sum_alpha,
-                count=count,
-                done_dir=done_dir,
-            ),
-            None,
+        return dict(
+            z_edge=z_edge,
+            z_cand=z_cand,
+            logw=logw,
+            sum_alpha=sum_alpha,
+            count=count,
+            done_dir=done_dir,
+            t=t + 1,
         )
 
-    keys = jax.random.split(key_scan, bound)
-    carry, _ = jax.lax.scan(body, init, (jnp.arange(bound), keys))
+    # Bounded while_loop: runs the traced step count (max over vmapped
+    # chains), not the static `bound` — the win for FixedIntegrationTime's
+    # adapted, data-dependent lengths (ref trajectory.jl:241-243).
+    init["t"] = jnp.asarray(0, jnp.int32)
+    carry = jax.lax.while_loop(
+        lambda c: c["t"] < n_steps, body, init
+    )
 
     alpha = carry["sum_alpha"] / carry["count"]
     z_prop = carry["z_cand"]

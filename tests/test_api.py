@@ -178,3 +178,27 @@ def test_coupled_chain_mode():
     # is per-chain), but the first doubling direction is shared: depths and
     # stats must remain finite and sensible
     assert np.isfinite(np.asarray(res.stats["tree_depth"])).all()
+
+
+def test_get_set_params():
+    """getparams/setparams!! analog (≅ abstractmcmc.jl:33-45)."""
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.sampler import SampleSpec, sample_step
+
+    target = std_gaussian(D)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind="none"))
+    state = init_state(jax.random.PRNGKey(6), spec,
+                       make_metric("diagonal", D, dtype=jnp.float64),
+                       jnp.zeros((3, D), jnp.float64), init_eps=0.3)
+    assert state.position.shape == (3, D)
+    new_theta = jnp.ones((3, D), jnp.float64)
+    st2 = state.with_position(spec, new_theta)
+    np.testing.assert_array_equal(np.asarray(st2.position), np.asarray(new_theta))
+    np.testing.assert_allclose(np.asarray(st2.z.logdensity),
+                               -0.5 * D * np.ones(3))
+    # stepping from the new position works
+    flags = {k: jnp.asarray(False) for k in
+             ("is_adapt", "in_window", "window_end", "is_last")}
+    st3, stats = sample_step(spec, st2, flags)
+    assert np.isfinite(np.asarray(st3.position)).all()
