@@ -49,7 +49,7 @@ def main():
 
     n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 4096))
     n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 256))
-    n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 500))
+    n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 300))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
     chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 32))
