@@ -243,3 +243,22 @@ def test_fused_draws_slice_and_jittered():
     # jitter visible in recorded per-transition step sizes
     eps = np.asarray(res.stats["step_size"])
     assert eps.std() > 1e-3
+
+
+def test_nuts_marginal_ks():
+    """Kolmogorov-Smirnov of NUTS draws against the exact N(0,1) marginal —
+    a distribution-level check beyond moments."""
+    from scipy.stats import kstest
+
+    kernel, metric_kind, adaptor, n_adapts = CASES["nuts_mult_generalised_stan"]
+    metric = make_metric(metric_kind, D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(123), TARGET, kernel, metric,
+        jnp.zeros(D, jnp.float64), 2600, n_adapts=600, adaptor=adaptor,
+        init_eps=0.25, n_chains=8, fuse_draws=50,
+    )
+    draws = np.asarray(res.thetas[600:])
+    # thin to reduce autocorrelation, pool chains
+    x = draws[::5, :, 0].ravel()
+    stat, pvalue = kstest(x, "norm")
+    assert pvalue > 0.01, (stat, pvalue)
