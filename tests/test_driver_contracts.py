@@ -1,0 +1,45 @@
+"""Driver-facing contracts: bench.py emits one JSON line; __graft_entry__
+compiles single-chip and dry-runs the multi-chip mesh."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+
+
+def test_bench_smoke_json_line():
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        AHMC_BENCH_CHAINS="16",
+        AHMC_BENCH_DRAWS="8",
+        AHMC_BENCH_WARMUP="8",
+        AHMC_BENCH_DIM="12",
+        AHMC_BENCH_CHUNK="4",
+        AHMC_BENCH_FUSE="4",
+        AHMC_BENCH_MAX_DEPTH="5",
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in rec
+    assert rec["value"] > 0
+
+
+def test_graft_entry():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(len(jax.devices()))
