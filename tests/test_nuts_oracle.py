@@ -99,6 +99,13 @@ for seed in range(6):
     # Large step sizes → divergences exercised
     CASES.append(("std", 2, 2.9, "generalised", "multinomial", 6, seed))
     CASES.append(("rosen", 3, 1.5, "generalised", "multinomial", 6, seed))
+for seed in range(6, 14):
+    # extra strict-criterion coverage (backward builds exercise the
+    # orientation-flipped half-tree checks)
+    CASES.append(("corr", 6, 0.25, "strict", "multinomial", 7, seed))
+    CASES.append(("std", 8, 0.35, "strict", "slice", 7, seed))
+    CASES.append(("rosen", 4, 0.12, "strict", "multinomial", 9, seed))
+    CASES.append(("corr", 3, 0.5, "classic", "slice", 6, seed))
 
 
 @pytest.mark.parametrize(
