@@ -76,7 +76,8 @@ def _uturn_classic(dtheta_tree, vel_l, vel_r):
 
 def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     force_directions=None, return_debug=False,
-                    coupled_key=None, _return_machinery=False):
+                    coupled_key=None, _return_machinery=False,
+                    _adaptive_metric=False):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
@@ -96,6 +97,10 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     # Unit/diag metrics recompute M⁻¹r from checkpointed r at check time
     # instead of carrying velocity stacks (cuts hot-loop carry traffic ~1/3).
     cheap_vel = isinstance(h.metric, (UnitEuclideanMetric, DiagEuclideanMetric))
+    if _adaptive_metric:
+        assert isinstance(h.metric, DiagEuclideanMetric), (
+            "in-loop metric adaptation supports the diagonal metric"
+        )
 
     dim = z0.theta.shape[-1]
     dtype = z0.theta.dtype
@@ -119,11 +124,12 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     stack = jnp.zeros((max_depth, dim), dtype)
     edtype = jnp.result_type(h0)
 
-    def fresh_fields(z_init, h0_init, lu_init):
+    def fresh_fields(z_init, h0_init, lu_init, m_inv=None):
         """Per-transition tree/subtree fields for a fresh transition starting
         at z_init. Checkpoint stacks are intentionally excluded: every slot is
-        written before it is read within a new doubling."""
-        v_init = h.velocity(z_init.r)
+        written before it is read within a new doubling. `m_inv` overrides the
+        velocity metric for the in-loop-adaptation path."""
+        v_init = h.velocity(z_init.r) if m_inv is None else z_init.r * m_inv
         return dict(
             h0=h0_init,
             lu=lu_init,
@@ -159,6 +165,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     state = dict(
         key=key,
         eps=eps * jnp.ones((), dtype),
+        m_inv=(h.metric.m_inv if _adaptive_metric else jnp.zeros((), dtype)),
         # --- checkpoint stacks (unused ones collapse to scalars) ---
         ck_theta=stack if is_classic else jnp.zeros((), dtype),
         ck_r=stack,
@@ -182,6 +189,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         eps = st["eps"]
         h0 = st["h0"]
         lu = st["lu"]
+        if _adaptive_metric:
+            from .metrics import DiagEuclideanMetric as _DEM
+
+            h_loc = h.replace(metric=_DEM(m_inv=st["m_inv"],
+                                          sqrt_m_inv=jnp.sqrt(st["m_inv"])))
+        else:
+            h_loc = h
 
         # --- begin a new doubling: draw direction, pick edge, reset subtree ---
         if force_directions is None and coupled_key is not None:
@@ -208,8 +222,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         # --- one leapfrog step in direction v (ref base case, :638-647) ---
         eps_signed = eps * v.astype(dtype)
-        z_new = integ.step(h, z_edge, eps_signed)
-        vel_new = h.velocity(z_new.r)
+        z_new = integ.step(h_loc, z_edge, eps_signed)
+        vel_new = h_loc.velocity(z_new.r)
         h_new = z_new.energy()
         dh = h_new - h0
         alpha_leaf = jnp.exp(jnp.minimum(jnp.zeros_like(dh), -dh))
@@ -265,7 +279,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # matmul is fully parallel (and MXU-able).
         sel_a = (slot_a[:, None] == jnp.arange(max_depth)[None, :]).astype(dtype)
         r_a = sel_a @ ck_r                                        # (K, D)
-        vel_a = jax.vmap(h.velocity)(r_a) if cheap_vel else sel_a @ ck_vel
+        vel_a = jax.vmap(h_loc.velocity)(r_a) if cheap_vel else sel_a @ ck_vel
         cum_a = sel_a @ ck_cum
         rho_span = s_rho[None, :] - cum_a + r_a                  # (K, D)
         if is_classic:
@@ -285,8 +299,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             cum_m1 = ck_cum[: max_depth - 1]
             r_m = ck_odd_r[: max_depth - 1]
             if cheap_vel:
-                vel_m1 = jax.vmap(h.velocity)(r_m1)
-                vel_m = jax.vmap(h.velocity)(r_m)
+                vel_m1 = jax.vmap(h_loc.velocity)(r_m1)
+                vel_m = jax.vmap(h_loc.velocity)(r_m)
             else:
                 vel_m1 = ck_vel[: max_depth - 1]
                 vel_m = ck_odd_vel[: max_depth - 1]
@@ -396,6 +410,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         out = dict(
             key=key,
             eps=st["eps"],
+            m_inv=st["m_inv"],
             h0=st["h0"],
             lu=st["lu"],
             t_zleft=_where_z(complete, c_zleft, st["t_zleft"]),
@@ -462,7 +477,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
 
 
 def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
-                           n_transitions: int, refreshment):
+                           n_transitions: int, refreshment,
+                           adapt_cfg=None, adapt_state=None,
+                           adapt_flags=None):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -474,6 +491,16 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     every transition boundary inside the loop, exactly matching the
     per-transition semantics of the scan path (ref sampler.jl:48-58).
 
+    Warmup mode: pass `adapt_cfg` (AdaptorConfig), `adapt_state` (per-chain
+    AdaptState) and `adapt_flags` (dict of (≥n_transitions,) flag arrays from
+    adaptation.adapt_flags). The full per-transition adaptation update — dual
+    averaging, Welford/Nutpie pushes, Stan window resets, and the metric
+    refresh — then runs INSIDE the loop at each chain's own transition
+    boundary, indexed by its own transition counter: exactly the reference's
+    per-chain semantics (ref sampler.jl:60-90), but with the async-lane
+    utilisation of the fused loop. Diagonal/unit metrics only. Returns
+    (z_final, thetas, stats, adapt_state_final).
+
     Returns (z_final, thetas (n_transitions, dim), stats dict of
     (n_transitions,)) for a single chain; vmap for a batch.
     """
@@ -481,13 +508,18 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     integ = traj.integrator
     dim = z0.theta.shape[-1]
     dtype = z0.theta.dtype
+    adaptive = adapt_cfg is not None
+    adaptive_metric = adaptive and adapt_cfg.uses_mm
 
     key, k_ref0 = jax.random.split(key)
     z_start = refreshment.refresh(k_ref0, h, z0)
 
     state, cond, body, fresh_fields = nuts_transition(
-        key, h, traj, z_start, _return_machinery=True
+        key, h, traj, z_start, _return_machinery=True,
+        _adaptive_metric=adaptive_metric,
     )
+    if adaptive:
+        state = dict(state, ad=adapt_state)
     edtype = jnp.result_type(state["h0"])
     t_count = n_transitions
 
@@ -507,12 +539,15 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         out_eps=jnp.zeros((t_count,), dtype),
     )
     inner_keys = list(state.keys())
+    body_keys = [k for k in inner_keys if k != "ad"]
+    if adaptive:
+        from .adaptation import adapt_step as _adapt_step
 
     def fcond(st):
         return jnp.logical_not(st["all_done"])
 
     def fbody(st):
-        st2 = body({k: st[k] for k in inner_keys})
+        st2 = body({k: st[k] for k in body_keys})
         boundary = st2["done"]
         t = st["t"]
         onehot = (jnp.arange(t_count) == t) & boundary
@@ -540,17 +575,47 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         t_new = jnp.where(boundary, t + 1, t)
         all_done = t_new >= t_count
 
+        # --- in-loop per-chain adaptation at the boundary (warmup mode) ---
+        if adaptive:
+            tt = jnp.minimum(t, t_count - 1)
+            flags_t = {k: adapt_flags[k][tt] for k in
+                       ("is_adapt", "in_window", "window_end", "is_last")}
+            alpha_tr = st2["sum_alpha"] / jnp.maximum(
+                n_alpha.astype(dtype), 1.0
+            )
+            ad_new = _adapt_step(adapt_cfg, st["ad"], zc.theta, zc.grad,
+                                 alpha_tr, flags_t)
+            ad = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(boundary, a, b), ad_new, st["ad"]
+            )
+            nominal_eps = ad.da.eps
+            m_inv_next = ad.mm.m_inv if adaptive_metric else None
+        else:
+            ad = None
+            nominal_eps = None
+            m_inv_next = None
+
         # --- prepare the next transition (masked) ---
         key2, k_ref, k_slice, k_jit = jax.random.split(st2["key"], 4)
-        z_next = refreshment.refresh(k_ref, h, zc)
+        if adaptive_metric:
+            from .metrics import DiagEuclideanMetric as _DEM
+
+            h_b = h.replace(metric=_DEM(m_inv=m_inv_next,
+                                        sqrt_m_inv=jnp.sqrt(m_inv_next)))
+        else:
+            h_b = h
+        z_next = refreshment.refresh(k_ref, h_b, zc)
         h0n = z_next.energy()
         if ts == SLICE:
             lun = -h0n - rand_exponential(k_slice, dtype=edtype)
         else:
             lun = jnp.zeros_like(h0n)
-        eps_next = integ.jitter(k_jit).current_step_size
+        integ_b = (integ.with_nom_step_size(nominal_eps)
+                   if adaptive else integ)
+        eps_next = integ_b.jitter(k_jit).current_step_size
 
-        fresh = fresh_fields(z_next, h0n, lun)
+        fresh = fresh_fields(z_next, h0n, lun,
+                             m_inv=m_inv_next if adaptive_metric else None)
         reset = boundary & jnp.logical_not(all_done)
         merged = {}
         for k in inner_keys:
@@ -558,6 +623,10 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                 merged[k] = key2
             elif k == "eps":
                 merged[k] = jnp.where(reset, eps_next, st2["eps"])
+            elif k == "ad":
+                merged[k] = ad
+            elif k == "m_inv" and adaptive_metric:
+                merged[k] = jnp.where(reset, m_inv_next, st2["m_inv"])
             elif k in fresh:
                 merged[k] = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(reset, a, b), fresh[k], st2[k]
@@ -581,4 +650,6 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         "step_size": final["out_eps"],
         "nom_step_size": jnp.broadcast_to(integ.nom_step_size, (t_count,)),
     }
+    if adaptive:
+        return final["zcand"], final["out_theta"], stats, final["ad"]
     return final["zcand"], final["out_theta"], stats

@@ -152,6 +152,52 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     return state, thetas, stats
 
 
+def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
+    """Warmup with per-chain adaptation INSIDE the fused while-loop.
+
+    Reference-exact per-chain semantics (each chain adapts on its own window
+    schedule by its own transition count, ref sampler.jl:60-90 +
+    stan_adaptor.jl), with the async-lane utilisation of the fused loop.
+    Requires per-chain adaptation and a unit/diag metric (diag when a mass
+    matrix is adapted).
+    """
+    from .adaptation import adapt_flags as _adapt_flags
+
+    cfg = spec.adaptor
+    n_chains = state.z.theta.shape[0]
+    flag_arrays = _adapt_flags(cfg, n_adapts, n_adapts)
+
+    def one_chain(key, metric, ad, z):
+        h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
+        integ = spec.kernel.trajectory.integrator.with_nom_step_size(ad.da.eps)
+        traj = spec.kernel.trajectory.replace(integrator=integ)
+        return nuts_transitions_fused(
+            key, h, traj, z, n_adapts, spec.kernel.refreshment,
+            adapt_cfg=cfg, adapt_state=ad, adapt_flags=flag_arrays,
+        )
+
+    key, k_step = jax.random.split(state.key)
+    keys = jax.random.split(k_step, n_chains)
+    z_last, ths, stats, ad_last = jax.vmap(one_chain)(
+        keys, state.metric, state.adapt, state.z
+    )
+
+    metric = state.metric
+    if cfg.uses_mm:
+        metric = jax.vmap(lambda m, mi: m.renew(mi))(
+            state.metric, ad_last.mm.m_inv
+        )
+
+    new_state = HMCState(
+        iteration=state.iteration + n_adapts,
+        z=z_last, metric=metric, adapt=ad_last, key=key,
+    )
+    ths = jnp.swapaxes(ths, 0, 1)
+    stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}
+    stats["is_adapt"] = jnp.ones_like(stats["numerical_error"], dtype=bool)
+    return new_state, ths, stats
+
+
 def sample_step(spec: SampleSpec, state: HMCState, flags) -> tuple:
     """One full (transition + adaptation) step over the chain batch."""
     cfg = spec.adaptor
@@ -305,6 +351,7 @@ def sample(
     cross_chain: bool = False,
     coupled: bool = False,
     fuse_draws: int = 0,
+    fuse_warmup: bool = False,
     drop_warmup: bool = False,
     collect_warmup_stats: bool = True,
     mesh=None,
@@ -380,14 +427,58 @@ def sample(
     n_keep = n_samples - (n_adapts if drop_warmup else 0)
     warmup_stats = None
     n_draw_steps = n_samples - n_adapts
+    dynamic = isinstance(kernel.trajectory.criterion, DynamicTerminationCriterion)
     use_fused = (
         fuse_draws > 1
-        and isinstance(kernel.trajectory.criterion, DynamicTerminationCriterion)
+        and dynamic
         and not coupled
         and n_draw_steps > 0
         and n_draw_steps % fuse_draws == 0
     )
-    if use_fused:
+    from .metrics import DiagEuclideanMetric, UnitEuclideanMetric
+
+    use_fused_warmup = (
+        fuse_warmup
+        and dynamic
+        and not coupled
+        and not cross_chain
+        and n_adapts > 0
+        and (
+            (adaptor.uses_mm
+             and isinstance(metric, DiagEuclideanMetric)
+             and adaptor.mm_kind in ("welford_var", "nutpie"))
+            or (not adaptor.uses_mm
+                and isinstance(metric, (DiagEuclideanMetric,
+                                        UnitEuclideanMetric)))
+        )
+    )
+    if use_fused_warmup:
+        # per-chain adaptation inside the fused loop (reference semantics,
+        # async lanes); draws follow fused or scan per fuse_draws.
+        state, warm_thetas, warm_stats = fused_warmup_phase(
+            spec, state, n_adapts
+        )
+        if drop_warmup:
+            warmup_stats = warm_stats if collect_warmup_stats else None
+            warm_thetas = None
+        if use_fused:
+            state, thetas, stats = fused_draw_phase(
+                spec, state, n_draw_steps, fuse_draws
+            )
+        else:
+            draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
+            state, (thetas, stats) = jax.lax.scan(
+                step_collect, state, draw_flags
+            )
+        if not drop_warmup:
+            thetas = jnp.concatenate([warm_thetas, thetas], axis=0)
+            stats = {
+                k: jnp.concatenate(
+                    [warm_stats[k].astype(stats[k].dtype), stats[k]], axis=0
+                )
+                for k in stats
+            }
+    elif use_fused:
         warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
         if n_adapts > 0:
             if drop_warmup:

@@ -262,3 +262,46 @@ def test_nuts_marginal_ks():
     x = draws[::5, :, 0].ravel()
     stat, pvalue = kstest(x, "norm")
     assert pvalue > 0.01, (stat, pvalue)
+
+
+def test_fused_warmup_per_chain():
+    """fuse_warmup: per-chain Stan adaptation inside the fused while-loop —
+    adapted metric/step size and posterior moments match the scan path."""
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(_leapfrog(), GeneralisedNoUTurn(), "multinomial"))
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(21), target, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1500, n_adapts=1000,
+        adaptor=STAN_ADAPT, init_eps=0.25, n_chains=4,
+        fuse_warmup=True, fuse_draws=25,
+    )
+    m_inv = np.asarray(res.final_state.metric.m_inv)  # per-chain (C, D)
+    assert m_inv.shape == (4, D)
+    np.testing.assert_allclose(m_inv.mean(axis=0), np.asarray(scales), rtol=0.35)
+    eps = np.asarray(res.final_state.adapt.da.eps)
+    assert (eps > 0.05).all() and (eps < 5.0).all()
+    draws = np.asarray(res.thetas[1000:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+    np.testing.assert_allclose(draws.var(axis=0), np.asarray(scales), rtol=0.4)
+    assert res.thetas.shape == (1500, 4, D)
+    acc = float(np.asarray(res.stats["acceptance_rate"][1200:]).mean())
+    assert 0.6 < acc < 0.99
+
+
+def test_fused_warmup_stepsize_only():
+    """fuse_warmup with dual-averaging-only adaptation (HMCDA-style NUTS)."""
+    kernel = HMCKernel(Trajectory(_leapfrog(), GeneralisedNoUTurn(), "multinomial"))
+    metric = make_metric("unit", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(22), TARGET, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1200, n_adapts=600,
+        adaptor=AdaptorConfig(kind=STEPSIZE), init_eps=0.1, n_chains=4,
+        fuse_warmup=True, drop_warmup=True,
+    )
+    draws = np.asarray(res.thetas).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+    np.testing.assert_allclose(draws.var(axis=0), np.ones(D), atol=0.35)
+    acc = float(np.asarray(res.stats["acceptance_rate"]).mean())
+    assert 0.6 < acc < 0.95
