@@ -95,6 +95,104 @@ def split_rhat(x):
     return jnp.sqrt(var_plus / w)
 
 
+class OnlineMoments:
+    """Storage-free running summary of a draw stream (per chain, per param).
+
+    Welford mean/variance over draws plus a K-lag autocovariance accumulator
+    (ring of the last K draws, most recent first), so pooled bulk ESS can be
+    estimated without materialising the (n_draws, n_chains, dim) array —
+    the memory-bound-long-run mode the reference cannot offer (it always
+    stores all samples, /root/reference/src/sampler.jl:188,224-227).
+
+    A pytree of arrays; thread through `lax.scan` with `online_update`.
+    """
+
+    def __init__(self, n, mean, m2, lag_buf, lag_acc):
+        self.n = n
+        self.mean = mean
+        self.m2 = m2
+        self.lag_buf = lag_buf   # (K, C, D) last K draws, most recent first
+        self.lag_acc = lag_acc   # (K, C, D) running Σ_t x_t·x_{t-k-1}
+
+    def tree_flatten(self):
+        return (self.n, self.mean, self.m2, self.lag_buf, self.lag_acc), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node(
+    OnlineMoments, OnlineMoments.tree_flatten, OnlineMoments.tree_unflatten
+)
+
+
+def online_init(n_chains: int, dim: int, n_lags: int = 16,
+                dtype=jnp.float32) -> OnlineMoments:
+    z = jnp.zeros((n_chains, dim), dtype)
+    zk = jnp.zeros((n_lags, n_chains, dim), dtype)
+    return OnlineMoments(jnp.zeros((), jnp.int32), z, jnp.zeros_like(z), zk, zk)
+
+
+def online_update(om: OnlineMoments, x) -> OnlineMoments:
+    """Fold one draw batch x (n_chains, dim) into the running summary."""
+    k = om.lag_buf.shape[0]
+    valid = (om.n > jnp.arange(k))[:, None, None]
+    lag_acc = om.lag_acc + jnp.where(valid, x[None, :, :] * om.lag_buf, 0.0)
+    lag_buf = jnp.concatenate([x[None], om.lag_buf[:-1]], axis=0)
+    n1 = om.n + 1
+    delta = x - om.mean
+    mean = om.mean + delta / n1.astype(x.dtype)
+    m2 = om.m2 + delta * (x - mean)
+    return OnlineMoments(n1, mean, m2, lag_buf, lag_acc)
+
+
+def online_summary(om: OnlineMoments):
+    """Finalize: per-chain mean/var + pooled bulk ESS from the K-lag window.
+
+    The ESS estimate truncates the Geyer sum at K lags (exact when the chain
+    mixes within K lags; an upper bound otherwise) — pick n_lags ≳ a few
+    integrated autocorrelation times.
+    """
+    n = om.n.astype(om.mean.dtype)
+    k, n_chains, dim = om.lag_buf.shape
+    var = om.m2 / jnp.maximum(n - 1.0, 1.0)              # (C, D) per-chain
+    # autocovariance at lag k+1: S_k/(n-k-1) - mean²  (final-mean approx)
+    lags = jnp.arange(1, k + 1, dtype=om.mean.dtype)[:, None, None]
+    acov = om.lag_acc / jnp.maximum(n - lags, 1.0) - jnp.square(om.mean)[None]
+    w = jnp.mean(var, axis=0)                            # (D,) within-chain
+    var_plus = w * (n - 1.0) / n
+    if n_chains > 1:
+        var_plus = var_plus + jnp.var(om.mean, axis=0, ddof=1)
+    rho = 1.0 - (w[None] - jnp.mean(acov, axis=1)) / var_plus[None]  # (K, D)
+    rho = jnp.concatenate([jnp.ones((1, dim), rho.dtype), rho], axis=0)
+
+    n_pairs = (k + 1) // 2
+    even = rho[0 : 2 * n_pairs : 2]
+    odd = rho[1 : 1 + 2 * n_pairs : 2]
+    pair = even + odd[: even.shape[0]]
+
+    def scan_fn(carry, p):
+        prev_min, alive = carry
+        p = jnp.minimum(p, prev_min)
+        alive = alive & (p > 0)
+        return (jnp.where(alive, p, prev_min), alive), jnp.where(alive, p, 0.0)
+
+    (_, _), contribs = jax.lax.scan(
+        scan_fn,
+        (jnp.full((dim,), jnp.inf, pair.dtype), jnp.ones((dim,), bool)),
+        pair,
+    )
+    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(contribs, axis=0), 1.0)
+    total = n * n_chains
+    return {
+        "n": om.n,
+        "mean": om.mean,
+        "var": var,
+        "ess": total / tau,
+    }
+
+
 def summarize(result, verbose: bool = True):
     """End-of-run report ≅ /root/reference/src/sampler.jl:229-246."""
     stats = result.stats
@@ -105,9 +203,12 @@ def summarize(result, verbose: bool = True):
         "divergence_rate": jnp.mean(
             stats["numerical_error"].astype(jnp.float32), axis=0
         ),
-        "ess": effective_sample_size(result.thetas),
-        "rhat": split_rhat(result.thetas),
     }
+    if result.thetas is not None:
+        report["ess"] = effective_sample_size(result.thetas)
+        report["rhat"] = split_rhat(result.thetas)
+    elif getattr(result, "online", None) is not None:
+        report["ess"] = result.online["ess"]
     if verbose:
         msg = {
             k: (float(jnp.mean(v)) if v.ndim else float(v))

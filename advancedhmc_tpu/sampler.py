@@ -107,18 +107,27 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 
 
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
-                     fuse: int):
+                     fuse: int, thin: int = 1, online_om=None):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
     fused block (see nuts_transitions_fused), cutting the vmapped loop's
     max-over-chains synchronisation waste. Adaptation is frozen (identical to
     the scan path where is_adapt=False makes adapt a no-op).
+
+    `thin` keeps every thin-th draw (must divide `fuse`). `online_om` (an
+    OnlineMoments pytree) switches to storage-free collection: draws are
+    folded into the running summary and the return becomes
+    (state, None, stats, online_moments).
     """
     per_chain = not spec.cross_chain
     n_chains = state.z.theta.shape[0]
     assert n_draws % fuse == 0, "fuse_draws must divide the draw count"
+    assert fuse % thin == 0, "thin must divide fuse_draws"
     batch_axis = 0 if per_chain else None
+    online = online_om is not None
+    if online:
+        from .diagnostics import online_update
 
     def one_chain(key, metric, eps, z):
         h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
@@ -128,7 +137,8 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
             key, h, traj, z, fuse, spec.kernel.refreshment
         )
 
-    def outer(st, _):
+    def outer(carry, _):
+        st, om = carry
         key, k_step = jax.random.split(st.key)
         keys = jax.random.split(k_step, n_chains)
         z_last, ths, stats = jax.vmap(
@@ -141,15 +151,49 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
         ths = jnp.swapaxes(ths, 0, 1)
         stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}
         stats["is_adapt"] = jnp.zeros_like(stats["numerical_error"])
-        return new_st, (ths, stats)
+        if online:
+            om = jax.lax.scan(
+                lambda o, x: (online_update(o, x), None), om, ths
+            )[0]
+            return (new_st, om), stats
+        if thin > 1:
+            ths, stats = _thin_block(ths, stats, thin)
+        return (new_st, om), (ths, stats)
 
-    state, (thetas, stats) = jax.lax.scan(
-        outer, state, None, length=n_draws // fuse
+    carry0 = (state, online_om if online else jnp.zeros((), jnp.int32))
+    if online:
+        (state, om), stats = jax.lax.scan(
+            outer, carry0, None, length=n_draws // fuse
+        )
+        stats = {k: v.reshape((n_draws,) + v.shape[2:])
+                 for k, v in stats.items()}
+        return state, None, stats, om
+
+    (state, _), (thetas, stats) = jax.lax.scan(
+        outer, carry0, None, length=n_draws // fuse
     )
-    # (outer, fuse, C, …) → (n_draws, C, …)
-    thetas = thetas.reshape((n_draws,) + thetas.shape[2:])
-    stats = {k: v.reshape((n_draws,) + v.shape[2:]) for k, v in stats.items()}
+    n_kept = n_draws // thin
+    # (outer, fuse/thin, C, …) → (n_kept, C, …)
+    thetas = thetas.reshape((n_kept,) + thetas.shape[2:])
+    stats = {k: v.reshape((n_kept,) + v.shape[2:]) for k, v in stats.items()}
     return state, thetas, stats
+
+
+def _thin_block(ths, stats, thin: int):
+    """Keep every `thin`-th draw of a (block, C, …) batch. Kept rows carry
+    the kept transition's stats, except `n_steps` (summed over the thinned
+    block — leapfrog totals stay exact) and `numerical_error` (OR over the
+    block — divergences are never silently dropped)."""
+    block = ths.shape[0]
+    n_keep = block // thin
+    ths = ths[thin - 1 :: thin]
+    shaped = {
+        k: v.reshape((n_keep, thin) + v.shape[1:]) for k, v in stats.items()
+    }
+    out = {k: v[:, -1] for k, v in shaped.items()}
+    out["n_steps"] = jnp.sum(shaped["n_steps"], axis=1)
+    out["numerical_error"] = jnp.any(shaped["numerical_error"], axis=1)
+    return ths, out
 
 
 def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
@@ -302,22 +346,33 @@ def init_state(
 
 @dataclasses.dataclass
 class SampleResult:
-    """Draws + per-transition statistics + final resumable state."""
+    """Draws + per-transition statistics + final resumable state.
 
-    thetas: jnp.ndarray          # (n_kept, n_chains, dim)
+    With `collect="online"` the draws are not stored: `thetas` is None and
+    `online` carries the storage-free summary (n, per-chain mean/var, pooled
+    bulk ESS) from diagnostics.online_summary.
+    """
+
+    thetas: Optional[jnp.ndarray]  # (n_kept, n_chains, dim) or None
     stats: Dict[str, jnp.ndarray]  # each (n_kept, n_chains)
     warmup_stats: Optional[Dict[str, jnp.ndarray]]
     final_state: HMCState
+    online: Optional[Dict[str, jnp.ndarray]] = None
 
     @property
     def n_chains(self):
-        return self.thetas.shape[1]
+        if self.thetas is not None:
+            return self.thetas.shape[1]
+        return self.final_state.z.theta.shape[0]
 
     def to_inference_dict(self):
         """ArviZ-convention export: posterior (chain, draw, dim) +
         sample_stats — the analogue of the MCMCChains `bundle_samples`
         extension (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl:7-43)."""
         import numpy as np
+
+        if self.thetas is None:
+            raise ValueError("draws were not stored (collect='online')")
 
         posterior = {"theta": np.moveaxis(np.asarray(self.thetas), 0, 1)}
         rename = {
@@ -352,6 +407,9 @@ def sample(
     coupled: bool = False,
     fuse_draws: int = 0,
     fuse_warmup: bool = False,
+    thin: int = 1,
+    collect: str = "draws",
+    online_lags: int = 16,
     drop_warmup: bool = False,
     collect_warmup_stats: bool = True,
     mesh=None,
@@ -424,9 +482,21 @@ def sample(
         _maybe_progress(new_state, stats)
         return new_state, stats
 
-    n_keep = n_samples - (n_adapts if drop_warmup else 0)
     warmup_stats = None
     n_draw_steps = n_samples - n_adapts
+    online = collect == "online"
+    if collect not in ("draws", "online"):
+        raise ValueError("collect must be 'draws' or 'online'")
+    if thin > 1:
+        if online:
+            raise ValueError("thin > 1 is redundant with collect='online'")
+        if n_adapts > 0 and not drop_warmup:
+            raise ValueError("thin > 1 requires drop_warmup=True "
+                             "(warmup draws are never thinned)")
+        if n_draw_steps % thin:
+            raise ValueError("thin must divide the number of draw steps")
+    if online and n_adapts > 0 and not drop_warmup:
+        raise ValueError("collect='online' requires drop_warmup=True")
     dynamic = isinstance(kernel.trajectory.criterion, DynamicTerminationCriterion)
     use_fused = (
         fuse_draws > 1
@@ -434,6 +504,7 @@ def sample(
         and not coupled
         and n_draw_steps > 0
         and n_draw_steps % fuse_draws == 0
+        and (thin == 1 or fuse_draws % thin == 0)
     )
     from .metrics import DiagEuclideanMetric, UnitEuclideanMetric
 
@@ -452,6 +523,54 @@ def sample(
                                         UnitEuclideanMetric)))
         )
     )
+
+    if online:
+        from .diagnostics import online_init, online_summary, online_update
+
+        n_chains_eff = state.z.theta.shape[0]
+        om0 = online_init(n_chains_eff, target.dim, online_lags,
+                          state.z.theta.dtype)
+
+        def step_online(carry, per_iter_flags):
+            st, om = carry
+            new_state, stats = sample_step(spec, st, per_iter_flags)
+            _maybe_progress(new_state, stats)
+            return (new_state, online_update(om, new_state.z.theta)), stats
+
+    def run_draws(state):
+        """Draw phase honoring fused/thin/online; returns
+        (state, thetas|None, stats, online_moments|None)."""
+        draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
+        if use_fused and online:
+            return fused_draw_phase(spec, state, n_draw_steps, fuse_draws,
+                                    online_om=om0)
+        if use_fused:
+            state, thetas, stats = fused_draw_phase(
+                spec, state, n_draw_steps, fuse_draws, thin
+            )
+            return state, thetas, stats, None
+        if online:
+            (state, om), stats = jax.lax.scan(
+                step_online, (state, om0), draw_flags
+            )
+            return state, None, stats, om
+        if thin > 1:
+            n_out = n_draw_steps // thin
+            blocks = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_out, thin) + a.shape[1:]), draw_flags
+            )
+
+            def outer(st, fb):
+                st, (th, s) = jax.lax.scan(step_collect, st, fb)
+                th, s = _thin_block(th, s, thin)
+                return st, (th[0], {k: v[0] for k, v in s.items()})
+
+            state, (thetas, stats) = jax.lax.scan(outer, state, blocks)
+            return state, thetas, stats, None
+        state, (thetas, stats) = jax.lax.scan(step_collect, state, draw_flags)
+        return state, thetas, stats, None
+
+    om_final = None
     if use_fused_warmup:
         # per-chain adaptation inside the fused loop (reference semantics,
         # async lanes); draws follow fused or scan per fuse_draws.
@@ -461,15 +580,7 @@ def sample(
         if drop_warmup:
             warmup_stats = warm_stats if collect_warmup_stats else None
             warm_thetas = None
-        if use_fused:
-            state, thetas, stats = fused_draw_phase(
-                spec, state, n_draw_steps, fuse_draws
-            )
-        else:
-            draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
-            state, (thetas, stats) = jax.lax.scan(
-                step_collect, state, draw_flags
-            )
+        state, thetas, stats, om_final = run_draws(state)
         if not drop_warmup:
             thetas = jnp.concatenate([warm_thetas, thetas], axis=0)
             stats = {
@@ -478,25 +589,21 @@ def sample(
                 )
                 for k in stats
             }
-    elif use_fused:
+    elif n_adapts > 0 and drop_warmup:
         warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
-        if n_adapts > 0:
-            if drop_warmup:
-                warm_step = step_stats_only if collect_warmup_stats else (
-                    lambda s, f: (sample_step(spec, s, f)[0], None)
-                )
-                state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
-                warm_thetas = None
-            else:
-                state, (warm_thetas, warm_stats) = jax.lax.scan(
-                    step_collect, state, warm_flags
-                )
-        else:
-            warm_thetas = None
-        state, thetas, stats = fused_draw_phase(
-            spec, state, n_draw_steps, fuse_draws
+        warm_step = step_stats_only if collect_warmup_stats else (
+            lambda s, f: (sample_step(spec, s, f)[0], None)
         )
-        if not drop_warmup and n_adapts > 0:
+        state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
+        state, thetas, stats, om_final = run_draws(state)
+    elif use_fused:
+        if n_adapts > 0:
+            warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
+            state, (warm_thetas, warm_stats) = jax.lax.scan(
+                step_collect, state, warm_flags
+            )
+        state, thetas, stats, om_final = run_draws(state)
+        if n_adapts > 0:
             thetas = jnp.concatenate([warm_thetas, thetas], axis=0)
             stats = {
                 k: jnp.concatenate(
@@ -504,19 +611,16 @@ def sample(
                 )
                 for k in stats
             }
-    elif drop_warmup and n_adapts > 0:
-        warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
-        draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
-        warm_step = step_stats_only if collect_warmup_stats else (
-            lambda s, f: (sample_step(spec, s, f)[0], None)
-        )
-        state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
-        state, (thetas, stats) = jax.lax.scan(step_collect, state, draw_flags)
+    elif online or thin > 1:
+        # (n_adapts == 0 here — validated above when warmup is kept)
+        state, thetas, stats, om_final = run_draws(state)
     else:
         state, (thetas, stats) = jax.lax.scan(step_collect, state, flags)
 
     result = SampleResult(
-        thetas=thetas, stats=stats, warmup_stats=warmup_stats, final_state=state
+        thetas=thetas, stats=stats, warmup_stats=warmup_stats,
+        final_state=state,
+        online=online_summary(om_final) if om_final is not None else None,
     )
     if verbose:
         # end-of-run EBFMI / acceptance report ≅ sampler.jl:229-246

@@ -19,9 +19,22 @@ import os
 import sys
 import time
 
+# Multi-chip simulation: AHMC_BENCH_CPU_DEVICES=N benches the sharded path
+# on N virtual CPU devices (the flag must land before the backend initialises).
+_N_CPU = os.environ.get("AHMC_BENCH_CPU_DEVICES")
+if _N_CPU:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_N_CPU}"
+    ).strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if _N_CPU:
+    # sitecustomize forces the axon TPU backend; override from inside.
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: remote compiles over the TPU tunnel take
 # minutes; cache them across bench invocations.
@@ -89,6 +102,25 @@ def main():
     state = init_state(k_state, spec, make_metric("diagonal", dim), theta0,
                        init_eps=eps0)
 
+    # Multi-chip: shard the chain axis over all devices (ICI collectives for
+    # the cross-chain adaptation reductions are inserted by XLA). Per-host
+    # throughput is reported alongside per-chip.
+    n_devices = jax.device_count()
+    if n_devices > 1:
+        from advancedhmc_tpu.parallel.mesh import (
+            mesh_of_all_devices,
+            shard_hmc_state,
+        )
+
+        assert n_chains % n_devices == 0, (
+            "chain count must divide the device count"
+        )
+        mesh = mesh_of_all_devices()
+        state = shard_hmc_state(state, mesh,
+                                per_chain_adapt=not spec.cross_chain)
+        print(f"# sharding {n_chains} chains over {n_devices} devices",
+              file=sys.stderr)
+
     flags_all = adapt_flags(spec.adaptor, n_warmup, n_warmup + n_draws)
 
     def chunk_flags(start, size):
@@ -154,8 +186,8 @@ def main():
     max_ess_chains = min(n_chains, 512)
     ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
     ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
-    ess_per_s = ess_total / t_draw
-    lf_per_s = total_leapfrogs / t_draw
+    ess_per_s = ess_total / t_draw / n_devices
+    lf_per_s = total_leapfrogs / t_draw / n_devices
 
     result = {
         "metric": "effective_samples_per_s_per_chip",
@@ -172,6 +204,8 @@ def main():
         "init_step_size": round(eps0, 5),
         "fuse": fuse,
         "device": str(jax.devices()[0]),
+        "n_devices": n_devices,
+        "ess_per_s_total": round(ess_total / t_draw, 2),
     }
     print(json.dumps(result))
 
