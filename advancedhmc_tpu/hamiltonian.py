@@ -88,6 +88,12 @@ class Hamiltonian(struct.PyTreeNode):
             return self.metric.velocity(r)
         return _relativistic_velocity(self.kinetic, self.metric, r)
 
+    def velocity_z(self, z):
+        """∂H∂r at a phase point (position-independent for Euclidean
+        metrics; the Riemannian Hamiltonian overrides this — the indirection
+        lets the iterative NUTS machinery run on both geometries)."""
+        return self.velocity(z.r)
+
     # -- phase point construction ----------------------------------------------
 
     def phasepoint(self, theta, r, logdensity=None, grad=None):

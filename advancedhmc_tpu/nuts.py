@@ -119,7 +119,6 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         top_w0 = jnp.asarray(0.0, dtype)   # ℓw = 0 (ref trajectory.jl:155)
         sub_w0 = jnp.asarray(-jnp.inf, dtype)
 
-    vel0 = h.velocity(z0.r)
     zeros_d = jnp.zeros((dim,), dtype)
     stack = jnp.zeros((max_depth, dim), dtype)
     edtype = jnp.result_type(h0)
@@ -129,7 +128,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         at z_init. Checkpoint stacks are intentionally excluded: every slot is
         written before it is read within a new doubling. `m_inv` overrides the
         velocity metric for the in-loop-adaptation path."""
-        v_init = h.velocity(z_init.r) if m_inv is None else z_init.r * m_inv
+        v_init = h.velocity_z(z_init) if m_inv is None else z_init.r * m_inv
         return dict(
             h0=h0_init,
             lu=lu_init,
@@ -223,7 +222,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # --- one leapfrog step in direction v (ref base case, :638-647) ---
         eps_signed = eps * v.astype(dtype)
         z_new = integ.step(h_loc, z_edge, eps_signed)
-        vel_new = h_loc.velocity(z_new.r)
+        vel_new = h_loc.velocity_z(z_new)
         h_new = z_new.energy()
         dh = h_new - h0
         alpha_leaf = jnp.exp(jnp.minimum(jnp.zeros_like(dh), -dh))

@@ -92,6 +92,13 @@ class RiemannianHamiltonian(struct.PyTreeNode):
         g = apply_map(self.metric.map, self.metric.g_fn(theta))
         return jnp.linalg.solve(g, r)
 
+    def velocity_z(self, z):
+        """∂H∂r at a phase point — position-dependent here; this is the hook
+        the iterative NUTS tree uses so dynamic trajectories work on the
+        Riemannian geometry too (beyond the reference, whose RMHMC is
+        static-only: /root/reference/test/riemannian.jl uses FixedNSteps)."""
+        return self.velocity(z.theta, z.r)
+
     def dH_dtheta(self, theta, r, cache=None, return_cache=False):
         """∂H∂θ(θ, r) (Eq 15 / Betancourt 2012; ref :253-343).
 

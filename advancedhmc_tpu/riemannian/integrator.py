@@ -38,6 +38,11 @@ class GeneralizedLeapfrog(struct.PyTreeNode):
     def jitter(self, key):
         return self
 
+    def step(self, h, z, eps, step_index=0, n_steps=1):
+        """Integrator-protocol step — lets this integrator slot into the
+        iterative NUTS machinery (nuts.py) for Riemannian NUTS."""
+        return generalized_leapfrog_step(self, h, z, eps)
+
 
 def generalized_leapfrog_step(
     integ: GeneralizedLeapfrog,

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from ..adaptation import DualAveragingConfig, DualAveragingState, da_update
 from ..target import LogDensityTarget
+from ..termination import DynamicTerminationCriterion
+from ..trajectory import Trajectory
 from .hamiltonian import RiemannianHamiltonian
 from .integrator import GeneralizedLeapfrog, transition_rmhmc
 from .metric import DenseRiemannianMetric, SoftAbsMap
@@ -34,8 +36,17 @@ def sample_rmhmc(
     n_adapts: int = 0,
     da: DualAveragingConfig = DualAveragingConfig(delta=0.8),
     n_chains: Optional[int] = None,
+    criterion=None,
+    ts_kind: str = "multinomial",
 ):
-    """Sample with SoftAbs-Riemannian HMC (generalized leapfrog + endpoint MH).
+    """Sample with SoftAbs-Riemannian HMC.
+
+    Default: generalized leapfrog + endpoint MH with `n_leapfrog` fixed steps
+    (the reference's supported combination). Passing a dynamic `criterion`
+    (e.g. GeneralisedNoUTurn) runs **Riemannian NUTS**: the iterative tree
+    doubling of nuts.py over the position-dependent geometry — a capability
+    beyond the reference (its RMHMC is static-only,
+    /root/reference/test/riemannian.jl).
 
     Returns (thetas (n, C, D), stats dict, final_state).
     """
@@ -55,11 +66,30 @@ def sample_rmhmc(
     z = jax.vmap(h.init_phasepoint)(jax.random.split(k_init, n_chains), theta)
     da_state = DualAveragingState.init(jnp.asarray(step_size, dtype))
 
+    dynamic = criterion is not None and isinstance(
+        criterion, DynamicTerminationCriterion
+    )
+    if dynamic:
+        from ..nuts import nuts_transition
+    elif criterion is not None:
+        from ..termination import FixedNSteps
+
+        if isinstance(criterion, FixedNSteps):
+            n_leapfrog = int(criterion.n_steps)  # honor, don't ignore
+        else:
+            raise ValueError(
+                "criterion must be a dynamic (no-U-turn) criterion or "
+                "FixedNSteps; use n_leapfrog= for the static path"
+            )
+
     def one_chain(k, eps, zc):
         integ = GeneralizedLeapfrog(step_size=eps, n_fp=n_fp)
         k_mom, k_tr = jax.random.split(k)
         r = h.rand_momentum(k_mom, zc.theta)
         zc = h.phasepoint(zc.theta, r)
+        if dynamic:
+            traj = Trajectory(integ, criterion, ts_kind)
+            return nuts_transition(k_tr, h, traj, zc)
         return transition_rmhmc(k_tr, h, integ, n_leapfrog, zc)
 
     def step(carry, i):

@@ -192,3 +192,101 @@ def test_sample_rmhmc_banana():
     assert np.isfinite(draws).all()
     acc = float(np.asarray(stats["acceptance_rate"][50:]).mean())
     assert acc > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Riemannian NUTS (beyond the reference: its RMHMC is static-only)
+# ---------------------------------------------------------------------------
+
+def test_riemannian_nuts_equals_euclidean_on_constant_identity_metric():
+    """With G(θ) ≡ I the generalized leapfrog reduces to plain leapfrog and
+    the Riemannian NUTS transition must reproduce the Euclidean one leaf for
+    leaf (energies differ by the constant ½D·log2π, which cancels in every
+    decision the tree makes)."""
+    from advancedhmc_tpu import (
+        GeneralisedNoUTurn,
+        Hamiltonian,
+        Leapfrog,
+        Trajectory,
+        nuts_transition,
+    )
+
+    target = _target()
+    key = jax.random.PRNGKey(3)
+    k_th, k_r, k_tr = jax.random.split(key, 3)
+    theta = jax.random.normal(k_th, (D,), jnp.float64)
+    r = jax.random.normal(k_r, (D,), jnp.float64)
+    eps = jnp.asarray(0.25, jnp.float64)
+    crit = GeneralisedNoUTurn(max_depth=5)
+
+    h_e = Hamiltonian(metric=UnitEuclideanMetric(size=D, _dtype=jnp.float64),
+                      target=target)
+    z_e = h_e.phasepoint(theta, r)
+
+    metric_r = DenseRiemannianMetric(
+        size=D,
+        g_fn=lambda th: jnp.eye(D, dtype=jnp.float64),
+        dg_fn=lambda th: jnp.zeros((D, D, D), jnp.float64),
+        map=IdentityMap(),
+    )
+    h_r = RiemannianHamiltonian(metric=metric_r, target=target)
+    z_r = h_r.phasepoint(theta, r)
+
+    for dirs in ([1, 1, -1, 1, -1], [-1, -1, 1, -1, 1], [1, -1, -1, 1, 1]):
+        for ts in ("multinomial", "slice"):
+            fd = jnp.asarray(dirs, jnp.int32)
+            ze, se = nuts_transition(
+                k_tr, h_e, Trajectory(Leapfrog(step_size=eps), crit, ts),
+                z_e, force_directions=fd,
+            )
+            zr, sr = nuts_transition(
+                k_tr, h_r,
+                Trajectory(GeneralizedLeapfrog(step_size=eps, n_fp=4), crit, ts),
+                z_r, force_directions=fd,
+            )
+            np.testing.assert_allclose(np.asarray(zr.theta),
+                                       np.asarray(ze.theta), rtol=1e-9)
+            assert int(sr["n_steps"]) == int(se["n_steps"])
+            assert int(sr["tree_depth"]) == int(se["tree_depth"])
+            np.testing.assert_allclose(
+                float(sr["acceptance_rate"]), float(se["acceptance_rate"]),
+                rtol=1e-9,
+            )
+
+
+@pytest.mark.parametrize("map_cfg", [IdentityMap(), SoftAbsMap(20.0)])
+def test_riemannian_nuts_posterior_mean(map_cfg):
+    """Riemannian NUTS recovers the posterior mean of a 2-D correlated
+    Gaussian (statistical-correctness gate in the test/sampler.jl style)."""
+    from advancedhmc_tpu import GeneralisedNoUTurn
+    from advancedhmc_tpu.riemannian import sample_rmhmc
+
+    a = jnp.asarray([[1.5, 0.4], [0.4, 0.8]])
+    mean = jnp.asarray([0.6, -0.3])
+
+    def logp(x):
+        d = x - mean
+        return -0.5 * d @ a @ d
+
+    target = LogDensityTarget(logp, 2)
+    if isinstance(map_cfg, IdentityMap):
+        # Hessian is PD constant → identity map is valid as-is
+        metric = DenseRiemannianMetric(
+            size=2,
+            g_fn=lambda th: a,
+            dg_fn=lambda th: jnp.zeros((2, 2, 2), a.dtype),
+            map=map_cfg,
+        )
+    else:
+        metric = DenseRiemannianMetric.from_hessian(target, map_cfg)
+
+    thetas, stats, _ = sample_rmhmc(
+        jax.random.PRNGKey(0), target,
+        jnp.zeros((8, 2), jnp.float64),
+        n_samples=250, n_adapts=100, step_size=0.3,
+        metric=metric, criterion=GeneralisedNoUTurn(max_depth=5),
+    )
+    post = np.asarray(thetas[100:]).reshape(-1, 2)
+    np.testing.assert_allclose(post.mean(0), np.asarray(mean), atol=0.12)
+    assert float(np.mean(np.asarray(stats["acceptance_rate"][100:]))) > 0.6
+    assert int(np.max(np.asarray(stats["tree_depth"]))) >= 1
