@@ -52,6 +52,7 @@ from .adaptation import (
     stan_schedule,
 )
 from .sampler import HMCState, SampleResult, SampleSpec, init_state, sample, sample_step
+from .chees import sample_chees
 from .constructors import HMC, HMCDA, NUTS, SamplerConfig, make_integrator
 from .diagnostics import ebfmi, effective_sample_size, split_rhat, summarize
 
@@ -73,7 +74,7 @@ __all__ = [
     "find_good_stepsize",
     "AdaptorConfig", "AdaptState", "DualAveragingConfig", "stan_schedule",
     "HMCState", "SampleSpec", "SampleResult", "init_state", "sample",
-    "sample_step",
+    "sample_step", "sample_chees",
     "NUTS", "HMC", "HMCDA", "SamplerConfig", "make_integrator",
     "ebfmi", "effective_sample_size", "split_rhat", "summarize",
 ]

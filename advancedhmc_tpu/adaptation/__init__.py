@@ -12,6 +12,7 @@ from .massmatrix import (
     WelfordCovState,
     WelfordVarState,
 )
+from .chees import CheesConfig, CheesState, chees_update, halton_sequence
 from .stan import (
     MM_NUTPIE,
     MM_UNIT,
@@ -31,6 +32,10 @@ from .stan import (
 )
 
 __all__ = [
+    "CheesConfig",
+    "CheesState",
+    "chees_update",
+    "halton_sequence",
     "DualAveragingConfig",
     "DualAveragingState",
     "da_update",
