@@ -120,7 +120,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         sub_w0 = jnp.asarray(-jnp.inf, dtype)
 
     zeros_d = jnp.zeros((dim,), dtype)
-    stack = jnp.zeros((max_depth, dim), dtype)
+    sdtype = (jnp.dtype(traj.stack_dtype)
+              if getattr(traj, "stack_dtype", None) else dtype)
+    stack = jnp.zeros((max_depth, dim), sdtype)
     edtype = jnp.result_type(h0)
 
     def fresh_fields(z_init, h0_init, lu_init, m_inv=None):
@@ -172,6 +174,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         ck_cum=stack,
         ck_odd_r=stack if is_strict else jnp.zeros((), dtype),
         ck_odd_vel=stack if (is_strict and not cheap_vel) else jnp.zeros((), dtype),
+        # scalar stacks for the expanded span dots (non-strict criteria)
+        sck_rv=(jnp.zeros((max_depth,), dtype)
+                if not (is_strict or is_classic) else jnp.zeros((), dtype)),
+        sck_cv=(jnp.zeros((max_depth,), dtype)
+                if not (is_strict or is_classic) else jnp.zeros((), dtype)),
+        sck_tv=(jnp.zeros((max_depth,), dtype)
+                if is_classic else jnp.zeros((), dtype)),
         **fresh_fields(z0, h0, lu),
     )
 
@@ -258,10 +267,16 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             st["ck_theta"], st["ck_r"], st["ck_vel"], st["ck_cum"],
         )
         ck_odd_r, ck_odd_vel = st["ck_odd_r"], st["ck_odd_vel"]
+        sck_rv, sck_cv, sck_tv = st["sck_rv"], st["sck_cv"], st["sck_tv"]
 
-        # All K = max_depth-1 candidate spans are checked in one batched
-        # gather + einsum pass (masked by `active`) instead of an unrolled
-        # per-k loop — ~10 vector ops total in the hot while-loop body.
+        # All K = max_depth-1 candidate spans are checked per leaf (masked by
+        # `active`). For Classic/Generalised the span dot-products are
+        # expanded algebraically so NO (K, D) span gather is materialised:
+        #   dot(ρ_span, v_a) = dot(s_rho, v_a) − dot(cum_a, v_a) + dot(r_a, v_a)
+        # where dot(s_rho, v_a) is a (S, D)·(D,) stack matvec and the other
+        # two terms are scalars computable AT WRITE TIME (stored in (S,)
+        # scalar stacks). This removed a materialised (C, K, D) intermediate
+        # worth ~35% of the hot-loop wall on TPU (see PERF.md profile).
         i_even = (i % 2) == 0
         t_ones = trailing_ones(i)
         vsign = v.astype(dtype)
@@ -273,21 +288,55 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         tz_a = trailing_zeros(jnp.maximum(a_safe, 1))
         slot_a = jnp.where(a_safe == 0, max_depth - 1,
                            jnp.minimum(tz_a, max_depth - 1))     # (K,)
-        # One-hot gather instead of jnp.take: per-chain dynamic gathers lower
-        # to serialized scatters/gathers under vmap on TPU; a (K, S)·(S, D)
-        # matmul is fully parallel (and MXU-able).
+        # One-hot picks instead of jnp.take: per-chain dynamic gathers lower
+        # to serialized scatters/gathers under vmap on TPU; one-hot matmuls
+        # are fully parallel.
         sel_a = (slot_a[:, None] == jnp.arange(max_depth)[None, :]).astype(dtype)
-        r_a = sel_a @ ck_r                                        # (K, D)
-        vel_a = jax.vmap(h_loc.velocity)(r_a) if cheap_vel else sel_a @ ck_vel
-        cum_a = sel_a @ ck_cum
-        rho_span = s_rho[None, :] - cum_a + r_a                  # (K, D)
-        if is_classic:
-            th_a = sel_a @ ck_theta
-            dtheta = vsign * (z_new.theta[None, :] - th_a)       # (K, D)
-            turn_k = (jnp.einsum("kd,kd->k", dtheta, vel_a) <= 0) | (
-                dtheta @ vel_new <= 0
-            )
+        if not is_strict:
+            # Per-slot scalars via ONE fused stack matmul: all stacks are
+            # concatenated into a single (nS, D) LHS against a (D, 2) RHS so
+            # each stack is read exactly once per leaf (the dominant
+            # HBM traffic of the check; see PERF.md profile).
+            sd = ck_r.dtype
+            if is_classic:
+                colA = (h_loc.velocity(z_new.theta) if cheap_vel
+                        else z_new.theta)
+                lhsA = ck_r if cheap_vel else ck_vel
+                lhs = jnp.concatenate([lhsA, ck_theta], 0)       # (2S, D)
+                rhs = jnp.stack([colA, vel_new], 1).astype(sd)   # (D, 2)
+                prod = (lhs @ rhs).astype(dtype)                 # (2S, 2)
+                th_dot_va = prod[:max_depth, 0]
+                thck_dot_vnew = prod[max_depth:, 1]
+                dA_slots = vsign * (th_dot_va - sck_tv)
+                dB_slots = vsign * (
+                    jnp.dot(z_new.theta, vel_new) - thck_dot_vnew
+                )
+            else:
+                colA = h_loc.velocity(s_rho) if cheap_vel else s_rho
+                lhsA = ck_r if cheap_vel else ck_vel
+                parts = [lhsA, ck_cum] if cheap_vel else [lhsA, ck_r, ck_cum]
+                lhs = jnp.concatenate(parts, 0)                  # (nS, D)
+                rhs = jnp.stack([colA, vel_new], 1).astype(sd)   # (D, 2)
+                prod = (lhs @ rhs).astype(dtype)                 # (nS, 2)
+                srho_dot_va = prod[:max_depth, 0]
+                if cheap_vel:
+                    r_dot_vnew = prod[:max_depth, 1]
+                    cum_dot_vnew = prod[max_depth:, 1]
+                else:
+                    r_dot_vnew = prod[max_depth:2 * max_depth, 1]
+                    cum_dot_vnew = prod[2 * max_depth:, 1]
+                dA_slots = srho_dot_va - sck_cv + sck_rv
+                dB_slots = (jnp.dot(s_rho, vel_new)
+                            - cum_dot_vnew + r_dot_vnew)
+            dA_k = sel_a @ dA_slots                              # (K,)
+            dB_k = sel_a @ dB_slots
+            turn_k = (dA_k <= 0) | (dB_k <= 0)
         else:
+            r_a = sel_a @ ck_r                                    # (K, D)
+            vel_a = (jax.vmap(h_loc.velocity)(r_a) if cheap_vel
+                     else sel_a @ ck_vel)
+            cum_a = sel_a @ ck_cum
+            rho_span = s_rho[None, :] - cum_a + r_a              # (K, D)
             turn_k = (jnp.einsum("kd,kd->k", rho_span, vel_a) <= 0) | (
                 rho_span @ vel_new <= 0
             )
@@ -335,15 +384,36 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         mask_odd = ((slots == slot_odd) & jnp.logical_not(i_even))[:, None]
 
         if is_classic:
-            ck_theta = jnp.where(mask_even, z_new.theta[None, :], ck_theta)
-        ck_r = jnp.where(mask_even, z_new.r[None, :], ck_r)
+            ck_theta = jnp.where(
+                mask_even, z_new.theta.astype(sdtype)[None, :], ck_theta
+            )
+        ck_r = jnp.where(mask_even, z_new.r.astype(sdtype)[None, :], ck_r)
         if not cheap_vel:
-            ck_vel = jnp.where(mask_even, vel_new[None, :], ck_vel)
-        ck_cum = jnp.where(mask_even, s_rho[None, :], ck_cum)
+            ck_vel = jnp.where(
+                mask_even, vel_new.astype(sdtype)[None, :], ck_vel
+            )
+        ck_cum = jnp.where(mask_even, s_rho.astype(sdtype)[None, :], ck_cum)
+        if not is_strict:
+            # write-time scalars for the expanded span dots: the checkpoint
+            # being stored IS leaf a of future spans, so dot(r_a, v_a),
+            # dot(cum_a, v_a), dot(θ_a, v_a) are known now.
+            mask_even_s = mask_even[:, 0]
+            if is_classic:
+                sck_tv = jnp.where(mask_even_s,
+                                   jnp.dot(z_new.theta, vel_new), sck_tv)
+            else:
+                sck_rv = jnp.where(mask_even_s,
+                                   jnp.dot(z_new.r, vel_new), sck_rv)
+                sck_cv = jnp.where(mask_even_s,
+                                   jnp.dot(s_rho, vel_new), sck_cv)
         if is_strict:
-            ck_odd_r = jnp.where(mask_odd, z_new.r[None, :], ck_odd_r)
+            ck_odd_r = jnp.where(
+                mask_odd, z_new.r.astype(sdtype)[None, :], ck_odd_r
+            )
             if not cheap_vel:
-                ck_odd_vel = jnp.where(mask_odd, vel_new[None, :], ck_odd_vel)
+                ck_odd_vel = jnp.where(
+                    mask_odd, vel_new.astype(sdtype)[None, :], ck_odd_vel
+                )
 
         # --- is the current doubling finished? ---
         n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), st["depth"])
@@ -445,6 +515,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             ck_cum=ck_cum,
             ck_odd_r=ck_odd_r,
             ck_odd_vel=ck_odd_vel,
+            sck_rv=sck_rv,
+            sck_cv=sck_cv,
+            sck_tv=sck_tv,
         )
         return out
 
@@ -478,7 +551,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
 def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            n_transitions: int, refreshment,
                            adapt_cfg=None, adapt_state=None,
-                           adapt_flags=None):
+                           adapt_flags=None, unroll: int = 1):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -633,6 +706,24 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             else:
                 merged[k] = st2[k]
         return dict(merged, t=t_new, all_done=all_done, **out)
+
+    if unroll > 1:
+        # U leaves per while-loop iteration: the (max_depth, dim) checkpoint
+        # stacks and output buffers — the dominant HBM carry traffic (PERF.md)
+        # — are written once per U leaves instead of every leaf. Chains that
+        # finish mid-iteration are frozen by the all_done guard (identical
+        # semantics; at most U-1 wasted leaf computations per chain).
+        inner_body = fbody
+
+        def fbody_unrolled(st):
+            for _ in range(unroll):
+                st2 = inner_body(st)
+                st = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(st["all_done"], a, b), st, st2
+                )
+            return st
+
+        fbody = fbody_unrolled
 
     final = jax.lax.while_loop(fcond, fbody, fstate)
 

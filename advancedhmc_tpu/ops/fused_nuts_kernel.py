@@ -411,7 +411,8 @@ def make_fused_nuts_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("value_and_grad_block", "dim", "n_transitions",
-                     "max_depth", "block_chains", "interpret"),
+                     "max_depth", "block_chains", "interpret",
+                     "vmem_limit_mb"),
 )
 def fused_nuts_pallas(
     value_and_grad_block,
@@ -425,6 +426,7 @@ def fused_nuts_pallas(
     max_depth: int = 8,
     block_chains: int = 256,
     interpret: bool = False,
+    vmem_limit_mb: int = 100,
 ):
     """Run the fused NUTS megakernel over all chains.
 
@@ -473,6 +475,11 @@ def fused_nuts_pallas(
         ),
         out_shape=out_shapes,
         interpret=pltpu.InterpretParams() if interpret else False,
+        # bigger chain blocks (better MXU shapes) need more scoped VMEM than
+        # the 16 MB compiler default; v5e has 128 MB/core to spend.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        ),
     )(jnp.asarray([seed], jnp.int32), jnp.asarray([eps], jnp.float32),
       th, mi, *data)
 

@@ -107,7 +107,8 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 
 
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
-                     fuse: int, thin: int = 1, online_om=None):
+                     fuse: int, thin: int = 1, online_om=None,
+                     unroll: int = 1):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -134,7 +135,7 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
         integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
         traj = spec.kernel.trajectory.replace(integrator=integ)
         return nuts_transitions_fused(
-            key, h, traj, z, fuse, spec.kernel.refreshment
+            key, h, traj, z, fuse, spec.kernel.refreshment, unroll=unroll
         )
 
     def outer(carry, _):

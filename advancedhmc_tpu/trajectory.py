@@ -58,6 +58,13 @@ class Trajectory(struct.PyTreeNode):
     integrator: "object"
     criterion: TerminationCriterion = struct.field(pytree_node=False)
     ts_kind: str = struct.field(pytree_node=False, default=MULTINOMIAL)
+    # Optional reduced-precision storage for the NUTS U-turn checkpoint
+    # stacks (e.g. "bfloat16"): halves the dominant hot-loop HBM/VMEM
+    # traffic on TPU at the cost of bf16 rounding in the U-turn dot
+    # products (a stopping heuristic — the invariant distribution is
+    # unaffected; termination decisions remain deterministic). None keeps
+    # full precision (the default; required for oracle-exact tests).
+    stack_dtype: str = struct.field(pytree_node=False, default=None)
 
     def __post_init__(self):
         check_ts_kind(self.ts_kind, self.criterion)

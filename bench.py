@@ -65,8 +65,9 @@ def main():
     n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 300))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
-    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 32))
-    fuse = int(os.environ.get("AHMC_BENCH_FUSE", 32))
+    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 128))
+    fuse = int(os.environ.get("AHMC_BENCH_FUSE", 16))
+    unroll = int(os.environ.get("AHMC_BENCH_UNROLL", 1))
 
     model = os.environ.get("AHMC_BENCH_MODEL", "logistic")
     if model == "gaussian":
@@ -81,6 +82,7 @@ def main():
             Leapfrog(step_size=jnp.asarray(0.05, jnp.float32)),
             GeneralisedNoUTurn(max_depth=max_depth),
             "multinomial",
+            stack_dtype=os.environ.get("AHMC_BENCH_STACK_DTYPE") or None,
         )
     )
     spec = SampleSpec(
@@ -144,7 +146,8 @@ def main():
 
     @jax.jit
     def run_chunk_fused(state):
-        new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse)
+        new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
+                                                 unroll=unroll)
         return new_st, (thetas, stats["n_steps"])
 
     # --- warmup (chunked, untimed beyond wall) ---
