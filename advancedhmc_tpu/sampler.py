@@ -243,6 +243,102 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
     return new_state, ths, stats
 
 
+def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
+                                  n_adapts: int, block: int, flags=None):
+    """Cross-chain warmup with `block` transitions fused per while-loop.
+
+    Transitions inside a block run with the step size / metric FROZEN at the
+    block start (async lanes, same utilisation win as fused draws); at each
+    block boundary the per-iteration Welford pushes and Stan window logic
+    are REPLAYED exactly from the recorded per-transition θ. Dual averaging
+    updates ONCE per block with the block-mean acceptance: a block of
+    observations all taken at the same stale ϵ is one effective observation
+    of that ϵ, and replaying k per-iteration DA updates on it makes the
+    controller unstable (measured: ϵ collapse at block=16). Opt-in deviation
+    from the reference's per-transition cadence (ref sampler.jl:60-90); the
+    window schedule and finalize are unchanged.
+
+    Requires a non-nutpie mass-matrix estimator (grads are not recorded).
+    Returns (state, warm_thetas (n_adapts, C, D), warm_stats).
+    """
+    cfg = spec.adaptor
+    n_chains = state.z.theta.shape[0]
+    assert n_adapts % block == 0
+    assert cfg.mm_kind != "nutpie", (
+        "cross-chain fused warmup records positions only"
+    )
+    if flags is None:
+        flags = adapt_flags(cfg, n_adapts, n_adapts)
+    n_blocks = n_adapts // block
+    block_flags = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_blocks, block) + a.shape[1:]), flags
+    )
+
+    def one_chain(key, metric, eps, z):
+        h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
+        integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
+        traj = spec.kernel.trajectory.replace(integrator=integ)
+        return nuts_transitions_fused(
+            key, h, traj, z, block, spec.kernel.refreshment
+        )
+
+    def outer(st, f_block):
+        key, k_step = jax.random.split(st.key)
+        keys = jax.random.split(k_step, n_chains)
+        z_last, ths, stats = jax.vmap(
+            one_chain, in_axes=(0, None, None, 0)
+        )(keys, st.metric, st.adapt.da.eps, st.z)
+        # (C, block, …) → (block, C, …)
+        ths = jnp.swapaxes(ths, 0, 1)
+        stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}
+
+        from .adaptation.stan import STAN, _mask_tree
+        from .adaptation.stepsize import da_update
+
+        alpha_blk = jnp.mean(jnp.minimum(stats["acceptance_rate"], 1.0))
+        t_idx = jnp.arange(block)
+
+        def replay(ad, xs):
+            th_t, f_t, t = xs
+            is_adapt = f_t["is_adapt"]
+            in_w, w_end = f_t["in_window"], f_t["window_end"]
+            is_last = f_t["is_last"]
+            da = ad.da
+            if cfg.uses_da:
+                # once per block (or at a window end / the final step)
+                da_now = is_adapt & ((t == block - 1) | w_end | is_last)
+                da = _mask_tree(da_now, da_update(cfg.da, da, alpha_blk), da)
+            mm = ad.mm
+            if cfg.uses_mm:
+                mm = _mask_tree(is_adapt & in_w, mm.push_batch(th_t), mm)
+                upd = is_adapt & (w_end if cfg.kind == STAN else in_w)
+                mm = _mask_tree(upd, mm.update_estimate(), mm)
+                mm = _mask_tree(is_adapt & w_end, mm.reset(), mm)
+            if cfg.uses_da and cfg.kind == STAN:
+                da = _mask_tree(is_adapt & w_end, da.reset(), da)
+            if cfg.uses_da:
+                da = _mask_tree(is_adapt & is_last, da.finalize(), da)
+            return AdaptState(da=da, mm=mm), None
+
+        adapt_new, _ = jax.lax.scan(
+            replay, st.adapt, (ths, f_block, t_idx)
+        )
+        metric = st.metric
+        if cfg.uses_mm:
+            metric = st.metric.renew(adapt_new.mm.m_inv)
+        new_st = HMCState(
+            iteration=st.iteration + block,
+            z=z_last, metric=metric, adapt=adapt_new, key=key,
+        )
+        stats["is_adapt"] = jnp.ones_like(stats["numerical_error"], dtype=bool)
+        return new_st, (ths, stats)
+
+    state, (thetas, stats) = jax.lax.scan(outer, state, block_flags)
+    thetas = thetas.reshape((n_adapts,) + thetas.shape[2:])
+    stats = {k: v.reshape((n_adapts,) + v.shape[2:]) for k, v in stats.items()}
+    return state, thetas, stats
+
+
 def sample_step(spec: SampleSpec, state: HMCState, flags) -> tuple:
     """One full (transition + adaptation) step over the chain batch."""
     cfg = spec.adaptor
@@ -408,6 +504,7 @@ def sample(
     coupled: bool = False,
     fuse_draws: int = 0,
     fuse_warmup: bool = False,
+    fuse_warmup_block: int = 8,
     thin: int = 1,
     collect: str = "draws",
     online_lags: int = 16,
@@ -524,6 +621,15 @@ def sample(
                                         UnitEuclideanMetric)))
         )
     )
+    use_fused_warmup_cc = (
+        fuse_warmup
+        and dynamic
+        and not coupled
+        and cross_chain
+        and n_adapts > 0
+        and adaptor.mm_kind != "nutpie"
+        and n_adapts % fuse_warmup_block == 0
+    )
 
     if online:
         from .diagnostics import online_init, online_summary, online_update
@@ -572,12 +678,18 @@ def sample(
         return state, thetas, stats, None
 
     om_final = None
-    if use_fused_warmup:
-        # per-chain adaptation inside the fused loop (reference semantics,
-        # async lanes); draws follow fused or scan per fuse_draws.
-        state, warm_thetas, warm_stats = fused_warmup_phase(
-            spec, state, n_adapts
-        )
+    if use_fused_warmup or use_fused_warmup_cc:
+        # adaptation inside/around the fused loop (per-chain: reference
+        # semantics at chain-local boundaries; cross-chain: block-replayed),
+        # async lanes; draws follow fused or scan per fuse_draws.
+        if use_fused_warmup_cc:
+            state, warm_thetas, warm_stats = fused_warmup_phase_crosschain(
+                spec, state, n_adapts, fuse_warmup_block
+            )
+        else:
+            state, warm_thetas, warm_stats = fused_warmup_phase(
+                spec, state, n_adapts
+            )
         if drop_warmup:
             warmup_stats = warm_stats if collect_warmup_stats else None
             warm_thetas = None

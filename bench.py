@@ -62,12 +62,15 @@ def main():
 
     n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 4096))
     n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 256))
-    n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 300))
+    n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 256))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
     chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 128))
     fuse = int(os.environ.get("AHMC_BENCH_FUSE", 16))
     unroll = int(os.environ.get("AHMC_BENCH_UNROLL", 1))
+    # warmup fuse block 8: DA stays calibrated (accept 0.802 @ delta 0.8)
+    # while warmup wall drops ~2.4x vs the synchronised scan (PERF.md)
+    fuse_warmup = int(os.environ.get("AHMC_BENCH_FUSE_WARMUP", 8))
 
     model = os.environ.get("AHMC_BENCH_MODEL", "logistic")
     if model == "gaussian":
@@ -151,14 +154,38 @@ def main():
         return new_st, (thetas, stats["n_steps"])
 
     # --- warmup (chunked, untimed beyond wall) ---
+    use_fw = fuse_warmup > 1 and n_warmup % fuse_warmup == 0
+    if use_fw:
+        from advancedhmc_tpu.sampler import fused_warmup_phase_crosschain
+
+        @jax.jit
+        def run_warm_chunk(state, fl):
+            st, _, _ = fused_warmup_phase_crosschain(
+                spec, state, fl["is_adapt"].shape[0], fuse_warmup, flags=fl
+            )
+            return st
+
     t0 = time.time()
-    for start in range(0, n_warmup, chunk):
-        state, _ = run_chunk(state, chunk_flags(start, chunk))
-        jax.block_until_ready(state.z.theta)
-        if start % (chunk * 4) == 0:
+    if use_fw:
+        wchunk = fuse_warmup * max(1, chunk // fuse_warmup)
+        pos = 0
+        while pos < n_warmup:
+            size = min(wchunk, n_warmup - pos)
+            size -= size % fuse_warmup
+            state = run_warm_chunk(state, chunk_flags(pos, size))
+            jax.block_until_ready(state.z.theta)
             eps_now = float(jnp.mean(state.adapt.da.eps))
-            print(f"# warmup {start}/{n_warmup} eps={eps_now:.4f} "
+            print(f"# fused warmup {pos}/{n_warmup} eps={eps_now:.4f} "
                   f"({time.time()-t0:.0f}s)", file=sys.stderr)
+            pos += size
+    else:
+        for start in range(0, n_warmup, chunk):
+            state, _ = run_chunk(state, chunk_flags(start, chunk))
+            jax.block_until_ready(state.z.theta)
+            if start % (chunk * 4) == 0:
+                eps_now = float(jnp.mean(state.adapt.da.eps))
+                print(f"# warmup {start}/{n_warmup} eps={eps_now:.4f} "
+                      f"({time.time()-t0:.0f}s)", file=sys.stderr)
     t_warm = time.time() - t0
 
     # --- timed sampling phase (pre-compile excluded from timing) ---

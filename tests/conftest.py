@@ -7,6 +7,22 @@ TPU pod is available in CI, so sharding behaviour is validated on
 
 import os
 
+# XLA's CPU compile passes recurse deeply on the big fused while-loop bodies
+# (nuts.py) and can blow the default 8 MB stack mid-suite (observed: SIGSEGV
+# in backend_compile_and_load after ~150 tests). Raise the limit before the
+# backend spins up; applies to the main thread and all later pthreads.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 << 20
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except Exception:
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
