@@ -488,6 +488,28 @@ class SampleResult:
         }
         return {"posterior": posterior, "sample_stats": sample_stats}
 
+    def to_arviz(self):
+        """Build an arviz.InferenceData when arviz is installed (optional
+        dependency — the analogue of the reference's weak-dep MCMCChains
+        extension loading, /root/reference/Project.toml:20-32)."""
+        try:
+            import arviz as az
+        except ImportError as e:
+            raise ImportError(
+                "arviz is not installed; use to_inference_dict() for the "
+                "plain-dict export"
+            ) from e
+        d = self.to_inference_dict()
+        return az.from_dict(posterior=d["posterior"],
+                            sample_stats=d["sample_stats"])
+
+    def save(self, path: str) -> None:
+        """Persist draws/stats/summaries/final state to one npz (see
+        checkpoint.save_result / load_result)."""
+        from .checkpoint import save_result
+
+        save_result(path, self)
+
 
 def sample(
     key,

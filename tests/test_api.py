@@ -202,3 +202,35 @@ def test_get_set_params():
              ("is_adapt", "in_window", "window_end", "is_last")}
     st3, stats = sample_step(spec, st2, flags)
     assert np.isfinite(np.asarray(st3.position)).all()
+
+
+def test_save_and_load_result(tmp_path):
+    """SampleResult round-trips through npz (checkpoint.save/load_result)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from advancedhmc_tpu import (AdaptorConfig, GeneralisedNoUTurn, HMCKernel,
+                                 Leapfrog, Trajectory, make_metric, sample)
+    from advancedhmc_tpu.checkpoint import load_result
+    from advancedhmc_tpu.models import std_gaussian
+
+    target = std_gaussian(3)
+    kernel = HMCKernel(Trajectory(
+        Leapfrog(step_size=jnp.asarray(0.4)), GeneralisedNoUTurn(max_depth=4),
+        "multinomial"))
+    r = sample(jax.random.PRNGKey(0), target, kernel,
+               make_metric("diagonal", 3, dtype=jnp.float64),
+               jnp.zeros((4, 3)), n_samples=20, n_adapts=8,
+               adaptor=AdaptorConfig(kind="stan"), init_eps=0.4)
+    p = str(tmp_path / "run.npz")
+    r.save(p)
+    back = load_result(p, like_state=r.final_state)
+    np.testing.assert_array_equal(np.asarray(back.thetas), np.asarray(r.thetas))
+    np.testing.assert_array_equal(np.asarray(back.stats["n_steps"]),
+                                  np.asarray(r.stats["n_steps"]))
+    np.testing.assert_array_equal(np.asarray(back.final_state.z.theta),
+                                  np.asarray(r.final_state.z.theta))
+    # arviz is optional in this image: the export must fail with guidance
+    import pytest
+    with pytest.raises(ImportError, match="to_inference_dict"):
+        r.to_arviz()
