@@ -54,7 +54,8 @@ from .adaptation import (
 from .sampler import HMCState, SampleResult, SampleSpec, init_state, sample, sample_step
 from .chees import sample_chees
 from .constructors import HMC, HMCDA, NUTS, SamplerConfig, make_integrator
-from .diagnostics import ebfmi, effective_sample_size, split_rhat, summarize
+from .diagnostics import (ebfmi, effective_sample_size, ess_bulk,
+                          ess_tail, rhat, split_rhat, summarize)
 
 __version__ = "0.1.0"
 
@@ -76,5 +77,6 @@ __all__ = [
     "HMCState", "SampleSpec", "SampleResult", "init_state", "sample",
     "sample_step", "sample_chees",
     "NUTS", "HMC", "HMCDA", "SamplerConfig", "make_integrator",
-    "ebfmi", "effective_sample_size", "split_rhat", "summarize",
+    "ebfmi", "effective_sample_size", "ess_bulk", "ess_tail", "rhat",
+    "split_rhat", "summarize",
 ]

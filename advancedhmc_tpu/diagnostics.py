@@ -78,6 +78,54 @@ def effective_sample_size(x):
     return n * m / tau
 
 
+def _rank_normalize(x):
+    """Rank-normalize draws over the pooled (sample, chain) axes:
+    z = Φ⁻¹((rank − 3/8)/(S + 1/4)) (Vehtari et al. 2021, Eq. 14)."""
+    x = jnp.asarray(x)
+    n, m = x.shape[0], x.shape[1]
+    flat = x.reshape(n * m, -1)
+    order = jnp.argsort(flat, axis=0)
+    ranks = jnp.argsort(order, axis=0) + 1.0
+    u = (ranks - 0.375) / (n * m + 0.25)
+    from jax.scipy.special import ndtri
+
+    return ndtri(u).reshape(x.shape)
+
+
+def ess_bulk(x):
+    """Rank-normalized bulk ESS. x: (n, m, dim) → (dim,)."""
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    return effective_sample_size(_rank_normalize(x))
+
+
+def ess_tail(x, prob: float = 0.05):
+    """Tail ESS: min of the ESS of the two tail-indicator sequences
+    I(x ≤ q_prob), I(x ≥ q_{1−prob}) (rank-normalized)."""
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    q_lo = jnp.quantile(x.reshape(-1, x.shape[-1]), prob, axis=0)
+    q_hi = jnp.quantile(x.reshape(-1, x.shape[-1]), 1.0 - prob, axis=0)
+    # ESS of the tail-indicator sequences directly (they are already
+    # bounded; rank-normalizing a binary sequence shreds ties)
+    ess_lo = effective_sample_size((x <= q_lo).astype(x.dtype))
+    ess_hi = effective_sample_size((x >= q_hi).astype(x.dtype))
+    return jnp.minimum(ess_lo, ess_hi)
+
+
+def rhat(x):
+    """Rank-normalized split-R̂: max of the bulk and folded (|x−median|)
+    statistics (Vehtari et al. 2021, Eq. 15-16). x: (n, m, dim) → (dim,)."""
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    bulk = split_rhat(_rank_normalize(x))
+    folded = jnp.abs(x - jnp.median(x.reshape(-1, x.shape[-1]), axis=0))
+    return jnp.maximum(bulk, split_rhat(_rank_normalize(folded)))
+
+
 def split_rhat(x):
     """Split-R̂ per parameter. x: (n_samples, n_chains, dim) → (dim,)."""
     x = jnp.asarray(x)
@@ -205,8 +253,9 @@ def summarize(result, verbose: bool = True):
         ),
     }
     if result.thetas is not None:
-        report["ess"] = effective_sample_size(result.thetas)
-        report["rhat"] = split_rhat(result.thetas)
+        report["ess"] = ess_bulk(result.thetas)
+        report["ess_tail"] = ess_tail(result.thetas)
+        report["rhat"] = rhat(result.thetas)
     elif getattr(result, "online", None) is not None:
         report["ess"] = result.online["ess"]
     if verbose:

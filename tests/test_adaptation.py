@@ -120,3 +120,41 @@ def test_dual_averaging_vectorised():
     eps = np.asarray(st.eps)
     assert eps.shape == (3,)
     assert eps[0] < eps[1] <= eps[2]
+
+
+# ---------------------------------------------------------------------------
+# Rank-normalized diagnostics (Vehtari et al. 2021)
+# ---------------------------------------------------------------------------
+
+def test_rank_normalized_diagnostics():
+    import numpy as np
+    import jax.numpy as jnp
+    from advancedhmc_tpu.diagnostics import ess_bulk, ess_tail, rhat
+
+    rng = np.random.default_rng(0)
+    n, m, d = 500, 4, 3
+    good = jnp.asarray(rng.normal(size=(n, m, d)))
+    # iid chains: ESS near n·m, R̂ near 1
+    eb = np.asarray(ess_bulk(good))
+    et = np.asarray(ess_tail(good))
+    r = np.asarray(rhat(good))
+    assert (eb > 0.5 * n * m).all() and (eb < 1.5 * n * m).all()
+    assert (et > 0.3 * n * m).all()
+    assert (np.abs(r - 1.0) < 0.02).all()
+
+    # one chain mean-shifted: R̂ flags it, bulk ESS collapses
+    bad = np.asarray(good).copy()
+    bad[:, 0, :] += 3.0
+    rb = np.asarray(rhat(jnp.asarray(bad)))
+    assert (rb > 1.2).all()
+    assert (np.asarray(ess_bulk(jnp.asarray(bad))) < 0.2 * n * m).all()
+
+    # variance-inflated chain: bulk R̂ may miss it, folded part catches it
+    var_bad = np.asarray(good).copy()
+    var_bad[:, 0, :] *= 3.0
+    assert (np.asarray(rhat(jnp.asarray(var_bad))) > 1.05).all()
+
+    # heavy-tailed (Cauchy) chains: tail ESS well below bulk ESS
+    cauchy = jnp.asarray(rng.standard_cauchy(size=(2000, 4, 2)))
+    ratio = np.asarray(ess_tail(cauchy)) / np.asarray(ess_bulk(cauchy))
+    assert (ratio < 1.2).all()
