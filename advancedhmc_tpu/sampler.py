@@ -108,7 +108,7 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
-                     unroll: int = 1):
+                     unroll: int = 1, progress_cb=None):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -152,6 +152,15 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
         ths = jnp.swapaxes(ths, 0, 1)
         stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}
         stats["is_adapt"] = jnp.zeros_like(stats["numerical_error"])
+        if progress_cb is not None:
+            from jax.experimental import io_callback as _io_callback
+
+            _io_callback(
+                progress_cb, None, new_st.iteration,
+                {k: stats[k][-1] for k in
+                 ("acceptance_rate", "step_size", "numerical_error")},
+                ordered=True,
+            )
         if online:
             om = jax.lax.scan(
                 lambda o, x: (online_update(o, x), None), om, ths
@@ -670,12 +679,14 @@ def sample(
         """Draw phase honoring fused/thin/online; returns
         (state, thetas|None, stats, online_moments|None)."""
         draw_flags = jax.tree_util.tree_map(lambda a: a[n_adapts:], flags)
+        fused_cb = _progress_cb if progress else None
         if use_fused and online:
             return fused_draw_phase(spec, state, n_draw_steps, fuse_draws,
-                                    online_om=om0)
+                                    online_om=om0, progress_cb=fused_cb)
         if use_fused:
             state, thetas, stats = fused_draw_phase(
-                spec, state, n_draw_steps, fuse_draws, thin
+                spec, state, n_draw_steps, fuse_draws, thin,
+                progress_cb=fused_cb,
             )
             return state, thetas, stats, None
         if online:
@@ -698,6 +709,20 @@ def sample(
             return state, thetas, stats, None
         state, (thetas, stats) = jax.lax.scan(step_collect, state, draw_flags)
         return state, thetas, stats, None
+
+    if verbose:
+        # surface silent fallbacks (correctness-preserving, but the user
+        # asked for the fast path and should know they didn't get it)
+        if fuse_warmup and n_adapts > 0 and not (
+            use_fused_warmup or use_fused_warmup_cc
+        ):
+            print("[advancedhmc_tpu] note: fuse_warmup requested but the "
+                  "configuration is unsupported (criterion/metric/adaptor "
+                  "combination) — using the synchronised scan warmup")
+        if fuse_draws > 1 and n_draw_steps > 0 and not use_fused:
+            print("[advancedhmc_tpu] note: fuse_draws requested but unused "
+                  "(requires a dynamic criterion, uncoupled chains, and "
+                  "fuse_draws | draw count) — using the scan draw phase")
 
     om_final = None
     if use_fused_warmup or use_fused_warmup_cc:
