@@ -9,6 +9,8 @@ from .banana import banana
 from .eight_schools import eight_schools
 from .gdemo import GDEMO_MEAN, gdemo
 from .logistic import german_credit_logistic, hierarchical_logistic
+from .mixtures import gaussian_mixture, two_gaussian_mixtures_2d
+from .spiral import spiral
 
 __all__ = [
     "std_gaussian",
@@ -21,4 +23,7 @@ __all__ = [
     "GDEMO_MEAN",
     "hierarchical_logistic",
     "german_credit_logistic",
+    "gaussian_mixture",
+    "two_gaussian_mixtures_2d",
+    "spiral",
 ]

@@ -143,3 +143,40 @@ def test_eight_schools():
     d = res.to_inference_dict()
     assert d["posterior"]["theta"].shape == (4, 2000, 10)
     assert "diverging" in d["sample_stats"]
+
+
+def test_gaussian_mixture_moments():
+    """Two-mode mixture: symmetric, E[x]=0, Var(x₀)=sep²/4+σ² (research zoo
+    parity: TwoDimGaussianMixtures, riemannian_hmc_utility.jl:68)."""
+    from advancedhmc_tpu.models import two_gaussian_mixtures_2d
+
+    target = two_gaussian_mixtures_2d(sep=3.0, sigma=0.5)
+    res = NUTS(0.8).sample(
+        jax.random.PRNGKey(9), target, jnp.zeros(2, jnp.float64),
+        3000, n_adapts=1000, n_chains=16, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[1000:]).reshape(-1, 2)
+    assert np.isfinite(draws).all()
+    # with 16 chains initialised at the origin both modes are visited
+    assert abs(draws[:, 0].mean()) < 0.5
+    assert abs(draws[:, 0].var() - (1.5**2 + 0.25)) < 0.6
+    assert abs(draws[:, 1].var() - 0.25) < 0.15
+
+
+def test_spiral_runs():
+    """Spiral target (research zoo parity, riemannian_hmc_utility.jl:66):
+    draws stay on the arm — the radius tracks a·φ within a few σ."""
+    from advancedhmc_tpu.models import spiral
+
+    target = spiral(a=0.5, sigma=0.1)
+    theta0 = jnp.tile(jnp.asarray([0.5, 0.0], jnp.float64), (8, 1))
+    res = NUTS(0.9).sample(
+        jax.random.PRNGKey(10), target, theta0,
+        1500, n_adapts=500, n_chains=8, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[500:]).reshape(-1, 2)
+    assert np.isfinite(draws).all()
+    r = np.hypot(draws[:, 0], draws[:, 1])
+    phi = np.arctan2(draws[:, 1], draws[:, 0]) % (2 * np.pi)
+    arm_dist = np.abs(r[:, None] - 0.5 * (phi[:, None] + 2 * np.pi * np.arange(8)))
+    assert np.quantile(arm_dist.min(axis=1), 0.9) < 0.35
