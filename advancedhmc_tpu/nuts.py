@@ -77,7 +77,7 @@ def _uturn_classic(dtheta_tree, vel_l, vel_r):
 def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     force_directions=None, return_debug=False,
                     coupled_key=None, _return_machinery=False,
-                    _adaptive_metric=False):
+                    _adaptive_metric=False, _slim_candidates=False):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
@@ -101,6 +101,17 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         assert isinstance(h.metric, DiagEuclideanMetric), (
             "in-loop metric adaptation supports the diagonal metric"
         )
+
+    slim = _slim_candidates
+
+    def _cand(z, h_val):
+        """Candidate record. Slim mode (fused full-refresh draws) drops the
+        momentum and caches the energy instead: the candidate's r is never
+        consumed there (refresh resamples it), so carrying it is pure HBM
+        carry traffic (~2 D-vectors/chain/leaf)."""
+        if slim:
+            return dict(theta=z.theta, ld=z.logdensity, grad=z.grad, h=h_val)
+        return z
 
     dim = z0.theta.shape[-1]
     dtype = z0.theta.dtype
@@ -130,7 +141,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         at z_init. Checkpoint stacks are intentionally excluded: every slot is
         written before it is read within a new doubling. `m_inv` overrides the
         velocity metric for the in-loop-adaptation path."""
-        v_init = h.velocity_z(z_init) if m_inv is None else z_init.r * m_inv
+        if cheap_vel:
+            # tree-edge velocities are recomputed from the edges' r at use
+            # time (one elementwise multiply) instead of carried — cuts three
+            # D-vectors of per-leaf carry traffic.
+            v_init = jnp.zeros((), dtype)
+        else:
+            v_init = h.velocity_z(z_init) if m_inv is None else z_init.r * m_inv
         return dict(
             h0=h0_init,
             lu=lu_init,
@@ -139,7 +156,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             t_vleft=v_init,
             t_vright=v_init,
             t_rho=z_init.r,
-            zcand=z_init,
+            zcand=_cand(z_init, h0_init),
             t_w=top_w0,
             sum_alpha=jnp.asarray(0.0, dtype),
             n_alpha=jnp.asarray(0, jnp.int32),
@@ -155,7 +172,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             s_vfirst=v_init,
             s_rho=zeros_d,
             s_w=sub_w0,
-            s_zcand=z_init,
+            s_zcand=_cand(z_init, h0_init),
             s_sum_alpha=jnp.asarray(0.0, dtype),
             s_n_alpha=jnp.asarray(0, jnp.int32),
             s_dh_max=jnp.asarray(0.0, edtype),
@@ -254,13 +271,22 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             diverging = jnp.logical_not(-h0 < delta_max - h_new)  # ref :503-507
         s_w = new_sw  # subtree weight now includes the current leaf
 
-        s_zcand = _where_z(take, z_new, st["s_zcand"])
+        s_zcand = _where_z(take, _cand(z_new, h_new), st["s_zcand"])
         s_rho = s_rho + z_new.r
         s_sum_alpha = s_sum_alpha + alpha_leaf
         s_n_alpha = s_n_alpha + 1
         s_dh_max = maxabs(s_dh_max, dh)
         s_zfirst = _where_z(start, z_new, st["s_zfirst"])
-        s_vfirst = jnp.where(start, vel_new, st["s_vfirst"])
+        if cheap_vel:
+            # velocities not carried: recompute from the stored momenta
+            s_vfirst = jnp.where(start, vel_new,
+                                 h_loc.velocity(st["s_zfirst"].r))
+            t_vleft_c = h_loc.velocity(st["t_zleft"].r)
+            t_vright_c = h_loc.velocity(st["t_zright"].r)
+        else:
+            s_vfirst = jnp.where(start, vel_new, st["s_vfirst"])
+            t_vleft_c = st["t_vleft"]
+            t_vright_c = st["t_vright"]
 
         # --- U-turn checks for completed aligned subtrees ending at leaf i ---
         ck_theta, ck_r, ck_vel, ck_cum = (
@@ -304,7 +330,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                 lhsA = ck_r if cheap_vel else ck_vel
                 lhs = jnp.concatenate([lhsA, ck_theta], 0)       # (2S, D)
                 rhs = jnp.stack([colA, vel_new], 1).astype(sd)   # (D, 2)
-                prod = (lhs @ rhs).astype(dtype)                 # (2S, 2)
+                prod = jnp.matmul(
+                    lhs, rhs, precision=getattr(traj, 'uturn_precision', None)
+                ).astype(dtype)                 # (2S, 2)
                 th_dot_va = prod[:max_depth, 0]
                 thck_dot_vnew = prod[max_depth:, 1]
                 dA_slots = vsign * (th_dot_va - sck_tv)
@@ -317,7 +345,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                 parts = [lhsA, ck_cum] if cheap_vel else [lhsA, ck_r, ck_cum]
                 lhs = jnp.concatenate(parts, 0)                  # (nS, D)
                 rhs = jnp.stack([colA, vel_new], 1).astype(sd)   # (D, 2)
-                prod = (lhs @ rhs).astype(dtype)                 # (nS, 2)
+                prod = jnp.matmul(
+                    lhs, rhs, precision=getattr(traj, 'uturn_precision', None)
+                ).astype(dtype)                 # (nS, 2)
                 srho_dot_va = prod[:max_depth, 0]
                 if cheap_vel:
                     r_dot_vnew = prod[:max_depth, 1]
@@ -440,8 +470,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # combined tree (ref combine :533-542, always performed :714-715)
         c_zleft = _where_z(fwd, st["t_zleft"], s_zleft)
         c_zright = _where_z(fwd, s_zright, st["t_zright"])
-        c_vleft = jnp.where(fwd, st["t_vleft"], s_vleft)
-        c_vright = jnp.where(fwd, s_vright, st["t_vright"])
+        c_vleft = jnp.where(fwd, t_vleft_c, s_vleft)
+        c_vright = jnp.where(fwd, s_vright, t_vright_c)
         c_rho = st["t_rho"] + s_rho
 
         # full-tree U-turn check on the combined tree (ref :719-722)
@@ -455,9 +485,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             tl_rho = jnp.where(fwd, st["t_rho"], s_rho)
             tr_rho = jnp.where(fwd, s_rho, st["t_rho"])
             tr_zleft_r = jnp.where(fwd, s_zleft.r, st["t_zleft"].r)
-            tr_vleft = jnp.where(fwd, s_vleft, st["t_vleft"])
+            tr_vleft = jnp.where(fwd, s_vleft, t_vleft_c)
             tl_zright_r = jnp.where(fwd, st["t_zright"].r, s_zright.r)
-            tl_vright = jnp.where(fwd, st["t_vright"], s_vright)
+            tl_vright = jnp.where(fwd, t_vright_c, s_vright)
             sl = _uturn_generalised(tl_rho + tr_zleft_r, c_vleft, tr_vleft)
             sr = _uturn_generalised(tl_zright_r + tr_rho, tl_vright, c_vright)
             full_turn = full_turn | sl | sr
@@ -484,8 +514,10 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             lu=st["lu"],
             t_zleft=_where_z(complete, c_zleft, st["t_zleft"]),
             t_zright=_where_z(complete, c_zright, st["t_zright"]),
-            t_vleft=sel(complete, c_vleft, st["t_vleft"]),
-            t_vright=sel(complete, c_vright, st["t_vright"]),
+            t_vleft=(st["t_vleft"] if cheap_vel
+                     else sel(complete, c_vleft, st["t_vleft"])),
+            t_vright=(st["t_vright"] if cheap_vel
+                      else sel(complete, c_vright, st["t_vright"])),
             t_rho=sel(complete, c_rho, st["t_rho"]),
             zcand=zcand,
             t_w=sel(complete, c_w, st["t_w"]),
@@ -500,7 +532,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             leaf=sel(complete, 0, i + 1),
             z_edge=z_new,
             s_zfirst=s_zfirst,
-            s_vfirst=s_vfirst,
+            s_vfirst=(st["s_vfirst"] if cheap_vel else s_vfirst),
             s_rho=s_rho,
             s_w=sel(complete, sub_w0, s_w),
             s_zcand=s_zcand,
@@ -524,6 +556,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     if _return_machinery:
         return state, cond, body, fresh_fields
 
+    assert not slim, "_slim_candidates requires _return_machinery"
     final = jax.lax.while_loop(cond, body, state)
 
     zcand = final["zcand"]
@@ -551,7 +584,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
 def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            n_transitions: int, refreshment,
                            adapt_cfg=None, adapt_state=None,
-                           adapt_flags=None, unroll: int = 1):
+                           adapt_flags=None, unroll: int = 1,
+                           out_dtype=None):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -576,19 +610,25 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     Returns (z_final, thetas (n_transitions, dim), stats dict of
     (n_transitions,)) for a single chain; vmap for a batch.
     """
+    from .hamiltonian import FullMomentumRefreshment
+
     ts = traj.ts_kind
     integ = traj.integrator
     dim = z0.theta.shape[-1]
     dtype = z0.theta.dtype
     adaptive = adapt_cfg is not None
     adaptive_metric = adaptive and adapt_cfg.uses_mm
+    # With full momentum refreshment the candidate's momentum is never used
+    # (resampled at every boundary): carry slim candidates without r, with
+    # the energy cached as a scalar.
+    slim = isinstance(refreshment, FullMomentumRefreshment)
 
     key, k_ref0 = jax.random.split(key)
     z_start = refreshment.refresh(k_ref0, h, z0)
 
     state, cond, body, fresh_fields = nuts_transition(
         key, h, traj, z_start, _return_machinery=True,
-        _adaptive_metric=adaptive_metric,
+        _adaptive_metric=adaptive_metric, _slim_candidates=slim,
     )
     if adaptive:
         state = dict(state, ad=adapt_state)
@@ -599,7 +639,10 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         state,
         t=jnp.asarray(0, jnp.int32),
         all_done=jnp.asarray(False),
-        out_theta=jnp.zeros((t_count, dim), dtype),
+        # `out_dtype` stores the (fuse, dim) draw buffer reduced-precision
+        # (e.g. bf16): the buffer is rewritten every leaf, so its bytes are
+        # hot-loop carry traffic; draws are cast back to `dtype` on return.
+        out_theta=jnp.zeros((t_count, dim), jnp.dtype(out_dtype or dtype)),
         out_n_steps=jnp.zeros((t_count,), jnp.int32),
         out_alpha=jnp.zeros((t_count,), dtype),
         out_logdensity=jnp.zeros((t_count,), edtype),
@@ -625,17 +668,23 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         onehot = (jnp.arange(t_count) == t) & boundary
 
         zc = st2["zcand"]
-        energy = zc.energy()
+        if slim:
+            zc_theta, zc_ld, zc_grad = zc["theta"], zc["ld"], zc["grad"]
+            energy = zc["h"]
+        else:
+            zc_theta, zc_ld, zc_grad = zc.theta, zc.logdensity, zc.grad
+            energy = zc.energy()
         n_alpha = st2["n_alpha"]
         rec = lambda buf, val: jnp.where(onehot, val, buf)
         out = dict(
-            out_theta=jnp.where(onehot[:, None], zc.theta[None, :],
+            out_theta=jnp.where(onehot[:, None],
+                                zc_theta.astype(st["out_theta"].dtype)[None, :],
                                 st["out_theta"]),
             out_n_steps=rec(st["out_n_steps"], n_alpha),
             out_alpha=rec(st["out_alpha"],
                           st2["sum_alpha"]
                           / jnp.maximum(n_alpha.astype(dtype), 1.0)),
-            out_logdensity=rec(st["out_logdensity"], zc.logdensity),
+            out_logdensity=rec(st["out_logdensity"], zc_ld),
             out_energy=rec(st["out_energy"], energy),
             out_energy_error=rec(st["out_energy_error"], energy - st2["h0"]),
             out_dh_max=rec(st["out_dh_max"], st2["dh_max"]),
@@ -655,7 +704,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             alpha_tr = st2["sum_alpha"] / jnp.maximum(
                 n_alpha.astype(dtype), 1.0
             )
-            ad_new = _adapt_step(adapt_cfg, st["ad"], zc.theta, zc.grad,
+            ad_new = _adapt_step(adapt_cfg, st["ad"], zc_theta, zc_grad,
                                  alpha_tr, flags_t)
             ad = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(boundary, a, b), ad_new, st["ad"]
@@ -676,7 +725,12 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                                         sqrt_m_inv=jnp.sqrt(m_inv_next)))
         else:
             h_b = h
-        z_next = refreshment.refresh(k_ref, h_b, zc)
+        if slim:
+            # full refreshment inlined on the slim record (≡ refresh())
+            z_next = h_b.phasepoint(zc_theta, h_b.rand_momentum(k_ref),
+                                    logdensity=zc_ld, grad=zc_grad)
+        else:
+            z_next = refreshment.refresh(k_ref, h_b, zc)
         h0n = z_next.energy()
         if ts == SLICE:
             lun = -h0n - rand_exponential(k_slice, dtype=edtype)
@@ -740,6 +794,18 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         "step_size": final["out_eps"],
         "nom_step_size": jnp.broadcast_to(integ.nom_step_size, (t_count,)),
     }
+    if slim:
+        # Reconstruct a full PhasePoint for the caller's state. The momentum
+        # is zeroed (it is statistically meaningless post-transition and is
+        # resampled before any further use); neg_k is set so energy() still
+        # reproduces the candidate's true energy.
+        zf = final["zcand"]
+        z_final = PhasePoint(theta=zf["theta"], r=jnp.zeros_like(zf["theta"]),
+                             logdensity=zf["ld"], grad=zf["grad"],
+                             neg_k=-zf["h"] - zf["ld"])
+    else:
+        z_final = final["zcand"]
+    out_thetas = final["out_theta"].astype(dtype)
     if adaptive:
-        return final["zcand"], final["out_theta"], stats, final["ad"]
-    return final["zcand"], final["out_theta"], stats
+        return z_final, out_thetas, stats, final["ad"]
+    return z_final, out_thetas, stats

@@ -108,7 +108,7 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
-                     unroll: int = 1, progress_cb=None):
+                     unroll: int = 1, progress_cb=None, out_dtype=None):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -135,7 +135,8 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
         integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
         traj = spec.kernel.trajectory.replace(integrator=integ)
         return nuts_transitions_fused(
-            key, h, traj, z, fuse, spec.kernel.refreshment, unroll=unroll
+            key, h, traj, z, fuse, spec.kernel.refreshment, unroll=unroll,
+            out_dtype=out_dtype,
         )
 
     def outer(carry, _):

@@ -65,6 +65,11 @@ class Trajectory(struct.PyTreeNode):
     # unaffected; termination decisions remain deterministic). None keeps
     # full precision (the default; required for oracle-exact tests).
     stack_dtype: str = struct.field(pytree_node=False, default=None)
+    # Matmul precision for the fused U-turn stack read. None lets XLA's
+    # bfloat16-propagation pass demote the checkpoint stacks to bf16 (their
+    # only consumer is this dot); "highest" pins the dot — and therefore the
+    # stack buffers — to float32.
+    uturn_precision: str = struct.field(pytree_node=False, default=None)
 
     def __post_init__(self):
         check_ts_kind(self.ts_kind, self.criterion)
