@@ -5,8 +5,16 @@ TPU-native analogue of the reference's AdvancedHMC.Adaptation submodule
 threaded through `lax.scan`.
 """
 
-from .stepsize import DualAveragingConfig, DualAveragingState, da_update
+from .stepsize import (
+    DualAveragingConfig,
+    DualAveragingState,
+    FixedStepSize,
+    ManualSSAdaptor,
+    da_update,
+)
 from .massmatrix import (
+    NaiveCov,
+    NaiveVar,
     NutpieVarState,
     UnitMassMatrixState,
     WelfordCovState,
@@ -38,7 +46,11 @@ __all__ = [
     "halton_sequence",
     "DualAveragingConfig",
     "DualAveragingState",
+    "FixedStepSize",
+    "ManualSSAdaptor",
     "da_update",
+    "NaiveCov",
+    "NaiveVar",
     "NutpieVarState",
     "UnitMassMatrixState",
     "WelfordCovState",

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 N_MIN_DEFAULT = 10
@@ -235,3 +236,44 @@ class UnitMassMatrixState(struct.PyTreeNode):
     @property
     def m_inv(self):
         return None
+
+
+class NaiveVar:
+    """Store-everything variance estimator (ref massmatrix.jl:65-83).
+
+    Used only in testing as the ground-truth reference for `WelfordVarState`
+    (same role as the reference's NOTE "used only in testing"). Host-side
+    numpy by design — it is not a jit-path component.
+    """
+
+    def __init__(self):
+        self.samples = []
+
+    def push(self, x):
+        self.samples.append(np.asarray(x))
+
+    def reset(self):
+        self.samples = []
+
+    @property
+    def estimate(self):
+        assert len(self.samples) >= 2, "need at least two samples"
+        return np.var(np.stack(self.samples), axis=0, ddof=1)
+
+
+class NaiveCov:
+    """Store-everything covariance estimator (ref massmatrix.jl:266-281)."""
+
+    def __init__(self):
+        self.samples = []
+
+    def push(self, x):
+        self.samples.append(np.asarray(x))
+
+    def reset(self):
+        self.samples = []
+
+    @property
+    def estimate(self):
+        assert len(self.samples) >= 2, "need at least two samples"
+        return np.cov(np.stack(self.samples), rowvar=False, ddof=1)

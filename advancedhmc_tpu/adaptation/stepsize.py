@@ -54,6 +54,52 @@ class DualAveragingState(struct.PyTreeNode):
         return self.replace(eps=jnp.exp(self.x_bar))
 
 
+class FixedStepSize(struct.PyTreeNode):
+    """Step-size "adaptor" that never changes ϵ (ref stepsize.jl:77-84).
+
+    In the functional design a fixed step size is normally expressed as
+    `AdaptorConfig(kind="none")` + `init_eps`; this state exists for users
+    composing adaptors manually (same role as the reference's struct — its
+    update verbs are all identities).
+    """
+
+    eps: jnp.ndarray
+
+    @classmethod
+    def init(cls, eps):
+        return cls(eps=jnp.asarray(eps))
+
+    def update(self, alpha):
+        return self
+
+    def reset(self):
+        return self
+
+    def finalize(self):
+        return self
+
+
+class ManualSSAdaptor:
+    """Manually-driven step size (ref stepsize.jl:64-95, `MSSState`).
+
+    The reference mutates `state.ϵ` between transitions; the functional
+    analog is a host-side holder whose `set` records a new ϵ and whose
+    `state` materialises a `FixedStepSize` pytree. For a running sampler
+    use `HMCState.with_step_size(eps)` — the direct equivalent of writing
+    `mssa.state.ϵ` mid-run.
+    """
+
+    def __init__(self, eps):
+        self.eps = jnp.asarray(eps)
+
+    def set(self, eps):
+        self.eps = jnp.asarray(eps)
+
+    @property
+    def state(self):
+        return FixedStepSize.init(self.eps)
+
+
 def da_update(cfg: DualAveragingConfig, st: DualAveragingState, alpha):
     """One dual-averaging step (ref stepsize.jl:178-210).
 

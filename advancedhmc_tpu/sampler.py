@@ -61,6 +61,18 @@ class HMCState(struct.PyTreeNode):
         """getparams (≅ abstractmcmc.jl:33-38)."""
         return self.z.theta
 
+    def with_step_size(self, eps):
+        """Manually override the current step size (≅ `ManualSSAdaptor`
+        writing `state.ϵ` mid-run, ref stepsize.jl:64-95). Scalar, or
+        per-chain `(C,)` when the adaptor state is per-chain."""
+        da = self.adapt.da
+        new_eps = jnp.broadcast_to(
+            jnp.asarray(eps, da.eps.dtype), da.eps.shape
+        )
+        return self.replace(adapt=self.adapt.replace(
+            da=da.replace(eps=new_eps)
+        ))
+
     def with_position(self, spec: "SampleSpec", theta):
         """setparams!! — replace positions, recompute ℓπ/∇ℓπ, keep momenta
         and cached ℓκ (≅ abstractmcmc.jl:40-45)."""

@@ -158,3 +158,47 @@ def test_rank_normalized_diagnostics():
     cauchy = jnp.asarray(rng.standard_cauchy(size=(2000, 4, 2)))
     ratio = np.asarray(ess_tail(cauchy)) / np.asarray(ess_bulk(cauchy))
     assert (ratio < 1.2).all()
+
+
+def test_naive_estimators_ground_truth_welford():
+    """Welford estimators vs the store-everything references
+    (ref test/adaptation.jl:63-99; NaiveVar/NaiveCov massmatrix.jl:65-83,266-281)."""
+    from advancedhmc_tpu.adaptation import NaiveCov, NaiveVar
+
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(300, 5)) * np.asarray([1.0, 2.0, 0.5, 3.0, 1.5])
+
+    nv, nc = NaiveVar(), NaiveCov()
+    wv = WelfordVarState.init(5, jnp.float64)
+    wc = WelfordCovState.init(5, jnp.float64)
+    for x in xs:
+        nv.push(x)
+        nc.push(x)
+        wv = wv.push(jnp.asarray(x))
+        wc = wc.push(jnp.asarray(x))
+
+    n = len(xs)
+    shrink = n / ((n + 5) * (n - 1))
+    exp_var = shrink * (n - 1) * nv.estimate + 1e-3 * (5 / (n + 5))
+    np.testing.assert_allclose(
+        np.asarray(wv.update_estimate().var), exp_var, rtol=1e-9)
+    exp_cov = shrink * (n - 1) * nc.estimate + 1e-3 * (5 / (n + 5)) * np.eye(5)
+    np.testing.assert_allclose(
+        np.asarray(wc.update_estimate().cov), exp_cov, rtol=1e-9)
+
+    nv.reset()
+    assert nv.samples == []
+
+
+def test_fixed_and_manual_step_size():
+    """FixedStepSize is inert; ManualSSAdaptor materialises the set ϵ
+    (ref stepsize.jl:64-95)."""
+    from advancedhmc_tpu.adaptation import FixedStepSize, ManualSSAdaptor
+
+    fss = FixedStepSize.init(0.3)
+    assert fss.update(0.1) is fss and fss.reset() is fss
+    np.testing.assert_allclose(float(fss.finalize().eps), 0.3)
+
+    mssa = ManualSSAdaptor(0.1)
+    mssa.set(0.25)
+    np.testing.assert_allclose(float(mssa.state.eps), 0.25)

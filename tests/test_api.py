@@ -234,3 +234,24 @@ def test_save_and_load_result(tmp_path):
     import pytest
     with pytest.raises(ImportError, match="to_inference_dict"):
         r.to_arviz()
+
+
+def test_with_step_size():
+    """HMCState.with_step_size — the ManualSSAdaptor analog (stepsize.jl:64-95)."""
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.sampler import SampleSpec, sample_step
+
+    target = std_gaussian(D)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=True)
+    state = init_state(jax.random.PRNGKey(5), spec,
+                       make_metric("diagonal", D, dtype=jnp.float64),
+                       jnp.zeros((3, D), jnp.float64), init_eps=0.3)
+    state = state.with_step_size(0.123)
+    np.testing.assert_allclose(np.asarray(state.adapt.da.eps), 0.123)
+    flags = {k: jnp.asarray(v) for k, v in
+             dict(is_adapt=False, in_window=False, window_end=False,
+                  is_last=False).items()}
+    _, stats = sample_step(spec, state, flags)
+    np.testing.assert_allclose(np.asarray(stats["step_size"]), 0.123,
+                               rtol=1e-6)
