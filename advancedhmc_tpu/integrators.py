@@ -86,7 +86,11 @@ class JitteredLeapfrog(struct.PyTreeNode):
         return self.step_size
 
     def with_nom_step_size(self, eps):
-        return self.replace(step_size0=eps)
+        # also resets the current (jittered) value: a stale `step_size`
+        # would otherwise leak the template's create-time ϵ into the first
+        # transition of a fused block (jitter re-draws it at every
+        # subsequent transition boundary / scan step)
+        return self.replace(step_size0=eps, step_size=eps)
 
     def jitter(self, key):
         u = jax.random.uniform(key, dtype=jnp.result_type(self.step_size0))

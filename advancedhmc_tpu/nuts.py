@@ -465,7 +465,16 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         else:
             e_mh = rand_exponential(k_mh, dtype=dtype)
             mh_take = st["t_w"] < s_w + e_mh
-        zcand = _where_z(complete & not_term & mh_take, s_zcand, st["zcand"])
+        # `act` (optional, from the batch-explicit fused loop) folds the
+        # chain's not-done predicate into this select: zcand is the only
+        # inner field read back after a chain finishes its transitions, so
+        # gating it here lets the batched loop skip vmap's whole-state
+        # done-guard (one extra select per carry per leaf; see PERF.md).
+        take_pred = complete & not_term & mh_take
+        act = st.get("act")
+        if act is not None:
+            take_pred = take_pred & act
+        zcand = _where_z(take_pred, s_zcand, st["zcand"])
 
         # combined tree (ref combine :533-542, always performed :714-715)
         c_zleft = _where_z(fwd, st["t_zleft"], s_zleft)
@@ -585,7 +594,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            n_transitions: int, refreshment,
                            adapt_cfg=None, adapt_state=None,
                            adapt_flags=None, unroll: int = 1,
-                           out_dtype=None):
+                           out_dtype=None, batched: bool = False,
+                           metric_batch=None, eps_batch=None):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -609,6 +619,20 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
     Returns (z_final, thetas (n_transitions, dim), stats dict of
     (n_transitions,)) for a single chain; vmap for a batch.
+
+    Batch-explicit mode (`batched=True`): `key` is a (C,) batch of per-chain
+    keys, `z0`/`adapt_state` have a leading chain axis, and `h`'s leaves are
+    UNBATCHED (shared metric — the cross-chain configuration) or diagonal
+    with the per-chain M⁻¹ carried in the loop state (warmup mode). ONE
+    `lax.while_loop` then runs over the batched state with `vmap(body)` and
+    a `jnp.any` condition instead of vmapping the whole loop. This removes
+    the automatic done-guard select that vmapped `while_loop` inserts on
+    EVERY carry each iteration — at bench shape those doubled the cost of
+    the checkpoint-stack and draw-buffer writes, the two hottest loop ops
+    (PERF.md). Active chains compute bit-identically to the vmapped path;
+    finished chains' state drifts harmlessly (every field read after a
+    chain finishes — zcand, the out buffers, `ad` — is gated by the chain's
+    not-done predicate). Returns batched outputs (C, n_transitions, ...).
     """
     from .hamiltonian import FullMomentumRefreshment
 
@@ -623,20 +647,51 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     # the energy cached as a scalar.
     slim = isinstance(refreshment, FullMomentumRefreshment)
 
-    key, k_ref0 = jax.random.split(key)
-    z_start = refreshment.refresh(k_ref0, h, z0)
+    # Per-chain metrics in batched mode ride the m_inv-in-state machinery
+    # (diagonal only), whether or not the metric is being adapted.
+    metric_in_state = adaptive_metric or (batched and metric_batch is not None)
 
-    state, cond, body, fresh_fields = nuts_transition(
-        key, h, traj, z_start, _return_machinery=True,
-        _adaptive_metric=adaptive_metric, _slim_candidates=slim,
-    )
+    def _core_state(k, z0_c, metric_c=None):
+        h_c = h if metric_c is None else h.replace(metric=metric_c)
+        k, k_ref0 = jax.random.split(k)
+        z_start = refreshment.refresh(k_ref0, h_c, z0_c)
+        return nuts_transition(
+            k, h_c, traj, z_start, _return_machinery=True,
+            _adaptive_metric=metric_in_state, _slim_candidates=slim,
+        )
+
+    if batched:
+        # `metric_batch` supplies per-chain metric leaves (per-chain
+        # adaptation / per-chain frozen-metric mode). The initial
+        # refresh/state build uses them; the loop body reads M⁻¹ from the
+        # state, so the representative machinery below may close over the
+        # shared template `h`.
+        assert unroll == 1, "batched fused loop does not support unroll"
+        n_chains = z0.theta.shape[0]
+        if metric_batch is None:
+            state = jax.vmap(lambda k, z: _core_state(k, z)[0])(key, z0)
+        else:
+            state = jax.vmap(lambda k, z, m: _core_state(k, z, m)[0])(
+                key, z0, metric_batch
+            )
+        # representative single-chain machinery (closes over shared statics
+        # only; all per-chain values flow through the state dict)
+        k0 = jax.tree_util.tree_map(lambda x: x[0], key)
+        z00 = jax.tree_util.tree_map(lambda x: x[0], z0)
+        m0 = (None if metric_batch is None else
+              jax.tree_util.tree_map(lambda x: x[0], metric_batch))
+        _, cond, body, fresh_fields = _core_state(k0, z00, m0)
+    else:
+        state, cond, body, fresh_fields = _core_state(key, z0)
+    if eps_batch is not None:
+        assert batched, "eps_batch requires batched mode"
+        state = dict(state, eps=jnp.asarray(eps_batch, dtype))
     if adaptive:
         state = dict(state, ad=adapt_state)
-    edtype = jnp.result_type(state["h0"])
+    edtype = jnp.result_type(jnp.zeros((), state["h0"].dtype))
     t_count = n_transitions
 
-    fstate = dict(
-        state,
+    fused_fields = dict(
         t=jnp.asarray(0, jnp.int32),
         all_done=jnp.asarray(False),
         # `out_dtype` stores the (fuse, dim) draw buffer reduced-precision
@@ -653,7 +708,15 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         out_diverged=jnp.zeros((t_count,), bool),
         out_eps=jnp.zeros((t_count,), dtype),
     )
-    inner_keys = list(state.keys())
+    if batched:
+        fused_fields = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((n_chains,) + x.shape, x.dtype), fused_fields
+        )
+    fstate = dict(state, **fused_fields)
+    if eps_batch is not None:
+        # per-chain NOMINAL step size (jitter base at transition boundaries)
+        fstate["eps_nom"] = jnp.asarray(eps_batch, dtype)
+    inner_keys = [k for k in state.keys()]
     body_keys = [k for k in inner_keys if k != "ad"]
     if adaptive:
         from .adaptation import adapt_step as _adapt_step
@@ -662,8 +725,13 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         return jnp.logical_not(st["all_done"])
 
     def fbody(st):
-        st2 = body({k: st[k] for k in body_keys})
-        boundary = st2["done"]
+        # not-done predicate: folded into the inner zcand select and every
+        # boundary-gated write below, so the batched loop needs no outer
+        # whole-state done-guard (the vmapped loop's body_pred adds one
+        # anyway; there it is redundant but harmless).
+        act = jnp.logical_not(st["all_done"])
+        st2 = body(dict({k: st[k] for k in body_keys}, act=act))
+        boundary = st2["done"] & act
         t = st["t"]
         onehot = (jnp.arange(t_count) == t) & boundary
 
@@ -718,11 +786,11 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         # --- prepare the next transition (masked) ---
         key2, k_ref, k_slice, k_jit = jax.random.split(st2["key"], 4)
-        if adaptive_metric:
+        if adaptive_metric or metric_in_state:
             from .metrics import DiagEuclideanMetric as _DEM
 
-            h_b = h.replace(metric=_DEM(m_inv=m_inv_next,
-                                        sqrt_m_inv=jnp.sqrt(m_inv_next)))
+            mi = m_inv_next if adaptive_metric else st2["m_inv"]
+            h_b = h.replace(metric=_DEM(m_inv=mi, sqrt_m_inv=jnp.sqrt(mi)))
         else:
             h_b = h
         if slim:
@@ -736,8 +804,12 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             lun = -h0n - rand_exponential(k_slice, dtype=edtype)
         else:
             lun = jnp.zeros_like(h0n)
-        integ_b = (integ.with_nom_step_size(nominal_eps)
-                   if adaptive else integ)
+        if adaptive:
+            integ_b = integ.with_nom_step_size(nominal_eps)
+        elif eps_batch is not None:
+            integ_b = integ.with_nom_step_size(st["eps_nom"])
+        else:
+            integ_b = integ
         eps_next = integ_b.jitter(k_jit).current_step_size
 
         fresh = fresh_fields(z_next, h0n, lun,
@@ -759,6 +831,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                 )
             else:
                 merged[k] = st2[k]
+        if eps_batch is not None:
+            merged["eps_nom"] = st["eps_nom"]
         return dict(merged, t=t_new, all_done=all_done, **out)
 
     if unroll > 1:
@@ -779,11 +853,18 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         fbody = fbody_unrolled
 
-    final = jax.lax.while_loop(fcond, fbody, fstate)
+    if batched:
+        final = jax.lax.while_loop(
+            lambda st: jnp.any(jnp.logical_not(st["all_done"])),
+            jax.vmap(fbody),
+            fstate,
+        )
+    else:
+        final = jax.lax.while_loop(fcond, fbody, fstate)
 
     stats = {
         "n_steps": final["out_n_steps"],
-        "is_accept": jnp.ones((t_count,), bool),
+        "is_accept": jnp.ones(final["out_n_steps"].shape, bool),
         "acceptance_rate": final["out_alpha"],
         "log_density": final["out_logdensity"],
         "hamiltonian_energy": final["out_energy"],
@@ -792,7 +873,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         "tree_depth": final["out_depth"],
         "numerical_error": final["out_diverged"],
         "step_size": final["out_eps"],
-        "nom_step_size": jnp.broadcast_to(integ.nom_step_size, (t_count,)),
+        "nom_step_size": jnp.broadcast_to(integ.nom_step_size,
+                                          final["out_eps"].shape),
     }
     if slim:
         # Reconstruct a full PhasePoint for the caller's state. The momentum

@@ -142,22 +142,51 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     if online:
         from .diagnostics import online_update
 
-    def one_chain(key, metric, eps, z):
+    def one_chain(key, metric, eps, z, batched=False, metric_batch=None,
+                  eps_batch=None):
         h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
         integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
         traj = spec.kernel.trajectory.replace(integrator=integ)
         return nuts_transitions_fused(
             key, h, traj, z, fuse, spec.kernel.refreshment, unroll=unroll,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, batched=batched, metric_batch=metric_batch,
+            eps_batch=eps_batch,
         )
+
+    # Batch-explicit fused loop: one while_loop over the batched state
+    # instead of vmapping the loop, which removes the per-carry done-guard
+    # selects (PERF.md). Shared metric/eps (cross-chain) closes over the
+    # metric; per-chain diag/unit metrics thread M⁻¹/ϵ through the state.
+    from .metrics import DiagEuclideanMetric as _Diag
+    from .metrics import UnitEuclideanMetric as _Unit
+
+    use_batched = unroll == 1 and (
+        not per_chain or isinstance(state.metric, (_Diag, _Unit))
+    )
 
     def outer(carry, _):
         st, om = carry
         key, k_step = jax.random.split(st.key)
         keys = jax.random.split(k_step, n_chains)
-        z_last, ths, stats = jax.vmap(
-            one_chain, in_axes=(0, batch_axis, batch_axis, 0)
-        )(keys, st.metric, st.adapt.da.eps, st.z)
+        if use_batched and not per_chain:
+            z_last, ths, stats = one_chain(
+                keys, st.metric, st.adapt.da.eps, st.z, batched=True
+            )
+        elif use_batched:
+            eps_c = st.adapt.da.eps          # (C,)
+            if isinstance(st.metric, _Diag):
+                metric_t = jax.tree_util.tree_map(lambda x: x[0], st.metric)
+                metric_b = st.metric
+            else:                            # unit: no array leaves
+                metric_t, metric_b = st.metric, None
+            z_last, ths, stats = one_chain(
+                keys, metric_t, eps_c[0], st.z, batched=True,
+                metric_batch=metric_b, eps_batch=eps_c,
+            )
+        else:
+            z_last, ths, stats = jax.vmap(
+                one_chain, in_axes=(0, batch_axis, batch_axis, 0)
+            )(keys, st.metric, st.adapt.da.eps, st.z)
         new_st = st.replace(
             iteration=st.iteration + fuse, z=z_last, key=key
         )
@@ -234,20 +263,38 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
     n_chains = state.z.theta.shape[0]
     flag_arrays = _adapt_flags(cfg, n_adapts, n_adapts)
 
-    def one_chain(key, metric, ad, z):
+    def one_chain(key, metric, ad, z, batched=False, metric_batch=None,
+                  eps_batch=None):
         h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
-        integ = spec.kernel.trajectory.integrator.with_nom_step_size(ad.da.eps)
+        eps0 = ad.da.eps if not batched else eps_batch[0]
+        integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps0)
         traj = spec.kernel.trajectory.replace(integrator=integ)
         return nuts_transitions_fused(
             key, h, traj, z, n_adapts, spec.kernel.refreshment,
             adapt_cfg=cfg, adapt_state=ad, adapt_flags=flag_arrays,
+            batched=batched, metric_batch=metric_batch, eps_batch=eps_batch,
         )
 
     key, k_step = jax.random.split(state.key)
     keys = jax.random.split(k_step, n_chains)
-    z_last, ths, stats, ad_last = jax.vmap(one_chain)(
-        keys, state.metric, state.adapt, state.z
-    )
+    from .metrics import DiagEuclideanMetric as _Diag
+    from .metrics import UnitEuclideanMetric as _Unit
+
+    # batch-explicit loop for diag/unit metrics (see fused_draw_phase)
+    if isinstance(state.metric, (_Diag, _Unit)):
+        if isinstance(state.metric, _Diag):
+            metric_t = jax.tree_util.tree_map(lambda x: x[0], state.metric)
+            metric_b = state.metric
+        else:
+            metric_t, metric_b = state.metric, None
+        z_last, ths, stats, ad_last = one_chain(
+            keys, metric_t, state.adapt, state.z, batched=True,
+            metric_batch=metric_b, eps_batch=state.adapt.da.eps,
+        )
+    else:
+        z_last, ths, stats, ad_last = jax.vmap(one_chain)(
+            keys, state.metric, state.adapt, state.z
+        )
 
     metric = state.metric
     if cfg.uses_mm:
@@ -296,20 +343,20 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
         lambda a: a.reshape((n_blocks, block) + a.shape[1:]), flags
     )
 
-    def one_chain(key, metric, eps, z):
+    def one_chain(keys, metric, eps, z):
         h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
         integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
         traj = spec.kernel.trajectory.replace(integrator=integ)
+        # metric/eps are shared within a block → batch-explicit fused loop
+        # (no per-carry done-guard selects; see nuts_transitions_fused)
         return nuts_transitions_fused(
-            key, h, traj, z, block, spec.kernel.refreshment
+            keys, h, traj, z, block, spec.kernel.refreshment, batched=True
         )
 
     def outer(st, f_block):
         key, k_step = jax.random.split(st.key)
         keys = jax.random.split(k_step, n_chains)
-        z_last, ths, stats = jax.vmap(
-            one_chain, in_axes=(0, None, None, 0)
-        )(keys, st.metric, st.adapt.da.eps, st.z)
+        z_last, ths, stats = one_chain(keys, st.metric, st.adapt.da.eps, st.z)
         # (C, block, …) → (block, C, …)
         ths = jnp.swapaxes(ths, 0, 1)
         stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}

@@ -305,3 +305,131 @@ def test_fused_warmup_stepsize_only():
     np.testing.assert_allclose(draws.var(axis=0), np.ones(D), atol=0.35)
     acc = float(np.asarray(res.stats["acceptance_rate"]).mean())
     assert 0.6 < acc < 0.95
+
+
+@pytest.mark.parametrize("case", [
+    ("multinomial", GeneralisedNoUTurn(max_depth=6)),
+    ("slice", ClassicNoUTurn(max_depth=6)),
+    ("multinomial", StrictGeneralisedNoUTurn(max_depth=5)),
+])
+def test_fused_batched_equals_vmapped(case):
+    """The batch-explicit fused loop (batched=True) is BIT-IDENTICAL to
+    vmapping the per-chain fused loop: active chains run the same ops in the
+    same order; finished chains' drift is gated out of every returned field."""
+    from advancedhmc_tpu.hamiltonian import Hamiltonian
+    from advancedhmc_tpu.nuts import nuts_transitions_fused
+
+    ts, criterion = case
+    kernel = HMCKernel(Trajectory(
+        Leapfrog(step_size=jnp.asarray(0.3, jnp.float64)), criterion, ts))
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    h = Hamiltonian(metric=metric, target=TARGET)
+    n_chains, fuse = 6, 9
+    keys = jax.random.split(jax.random.PRNGKey(42), n_chains)
+    theta0 = jax.random.normal(jax.random.PRNGKey(1), (n_chains, D),
+                               jnp.float64)
+    z0 = jax.vmap(lambda th: h.phasepoint(th, jnp.zeros(D, jnp.float64)))(
+        theta0)
+
+    refreshment = kernel.refreshment
+    traj = kernel.trajectory
+
+    zv, thv, sv = jax.vmap(
+        lambda k, z: nuts_transitions_fused(k, h, traj, z, fuse, refreshment)
+    )(keys, z0)
+    zb, thb, sb = nuts_transitions_fused(keys, h, traj, z0, fuse,
+                                         refreshment, batched=True)
+
+    np.testing.assert_array_equal(np.asarray(thv), np.asarray(thb))
+    for k in sv:
+        np.testing.assert_array_equal(np.asarray(sv[k]), np.asarray(sb[k]),
+                                      err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(zv),
+                    jax.tree_util.tree_leaves(zb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_batched_equals_vmapped_per_chain():
+    """Batched fused loop with PER-CHAIN diag metric + per-chain (jittered)
+    step size (threaded through the loop state) matches the vmapped loop.
+
+    Unlike the shared-metric case (bit-exact, see above), per-chain M⁻¹
+    multiplications let XLA contract `sum(square(r) * m_inv)` differently
+    in the two programs (FMA association), so the refreshed kinetic energy
+    can differ by an ulp per transition boundary. The test therefore uses
+    few transitions + tight tolerances and requires the DISCRETE tree
+    decisions (leaf counts, depths, divergences) to agree exactly."""
+    from advancedhmc_tpu.hamiltonian import Hamiltonian
+    from advancedhmc_tpu.metrics import DiagEuclideanMetric
+    from advancedhmc_tpu.nuts import nuts_transitions_fused
+
+    n_chains, fuse = 5, 3
+    m_inv_b = jnp.exp(jax.random.normal(jax.random.PRNGKey(3),
+                                        (n_chains, D), jnp.float64) * 0.3)
+    metric_b = DiagEuclideanMetric(m_inv=m_inv_b,
+                                   sqrt_m_inv=jnp.sqrt(m_inv_b))
+    eps_b = 0.2 + 0.2 * jax.random.uniform(jax.random.PRNGKey(4),
+                                           (n_chains,), jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(11), n_chains)
+    theta0 = jax.random.normal(jax.random.PRNGKey(12), (n_chains, D),
+                               jnp.float64)
+
+    kernel = HMCKernel(Trajectory(
+        JitteredLeapfrog.create(jnp.asarray(0.3, jnp.float64), 0.15),
+        GeneralisedNoUTurn(max_depth=6), "multinomial"))
+    refreshment = kernel.refreshment
+
+    def run_vmapped(k, m, e, th):
+        h = Hamiltonian(metric=m, target=TARGET)
+        integ = kernel.trajectory.integrator.with_nom_step_size(e)
+        traj = kernel.trajectory.replace(integrator=integ)
+        z = h.phasepoint(th, jnp.zeros(D, jnp.float64))
+        return nuts_transitions_fused(k, h, traj, z, fuse, refreshment)
+
+    zv, thv, sv = jax.vmap(run_vmapped)(keys, metric_b, eps_b, theta0)
+
+    metric_t = jax.tree_util.tree_map(lambda x: x[0], metric_b)
+    h_t = Hamiltonian(metric=metric_t, target=TARGET)
+    integ_t = kernel.trajectory.integrator.with_nom_step_size(eps_b[0])
+    traj_t = kernel.trajectory.replace(integrator=integ_t)
+    z0 = jax.vmap(lambda th, m: Hamiltonian(metric=m, target=TARGET)
+                  .phasepoint(th, jnp.zeros(D, jnp.float64)))(theta0, metric_b)
+    zb, thb, sb = nuts_transitions_fused(
+        keys, h_t, traj_t, z0, fuse, refreshment, batched=True,
+        metric_batch=metric_b, eps_batch=eps_b)
+
+    np.testing.assert_allclose(np.asarray(thv), np.asarray(thb),
+                               rtol=0, atol=1e-12)
+    for k in ("n_steps", "tree_depth", "numerical_error", "is_accept"):
+        np.testing.assert_array_equal(np.asarray(sv[k]), np.asarray(sb[k]),
+                                      err_msg=k)
+    for k in ("log_density", "hamiltonian_energy", "acceptance_rate",
+              "step_size"):
+        np.testing.assert_allclose(np.asarray(sv[k]), np.asarray(sb[k]),
+                                   rtol=0, atol=1e-11, err_msg=k)
+
+
+def test_fused_warmup_batched_matches_scan_adaptation():
+    """Per-chain fused warmup (now batch-explicit for diag metrics) still
+    reproduces per-chain Stan adaptation — metric and step size land where
+    the scan path lands."""
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.sampler import SampleSpec, fused_warmup_phase
+
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(
+        lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(
+        Leapfrog(step_size=jnp.asarray(0.2, jnp.float64)),
+        GeneralisedNoUTurn(max_depth=6), "multinomial"))
+    spec = SampleSpec(target=target, kernel=kernel,
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=False)
+    st = init_state(jax.random.PRNGKey(21), spec,
+                    make_metric("diagonal", D, dtype=jnp.float64),
+                    jnp.zeros((8, D), jnp.float64), init_eps=0.2)
+    st2, ths, stats = fused_warmup_phase(spec, st, 400)
+    m_inv = np.asarray(st2.metric.m_inv)          # (C, D) per chain
+    assert m_inv.shape == (8, D)
+    med = np.median(m_inv, axis=0)
+    np.testing.assert_allclose(med, np.asarray(scales), rtol=0.6)
+    assert np.all(np.asarray(st2.adapt.da.eps) > 0)
