@@ -37,8 +37,17 @@ def _synthetic_data(n: int, p: int, seed: int = 0):
 
 
 def hierarchical_logistic(
-    n: int = 1000, p: int = 24, seed: int = 0, dtype=jnp.float32
+    n: int = 1000, p: int = 24, seed: int = 0, dtype=jnp.float32,
+    resid_dtype=None,
 ) -> LogDensityTarget:
+    """`resid_dtype` (e.g. "bfloat16") stores the Bernoulli residual
+    y − σ(logits) — the only tensor crossing the fwd→grad fusion boundary —
+    reduced-precision, halving the (chains, n) HBM round trip per gradient
+    under vmapped chains. The log density itself (and hence the MH accept)
+    stays exact float32; a reduced-precision gradient only perturbs the
+    leapfrog flow, which remains reversible and volume-preserving, so the
+    sampler is still exact (acceptance, not correctness, absorbs the
+    rounding). Residuals are bounded in [−1, 1] — ideal for bf16."""
     x_np, y_np = _synthetic_data(n, p, seed)
     x = jnp.asarray(x_np, dtype)
     y = jnp.asarray(y_np, dtype)
@@ -55,7 +64,25 @@ def hierarchical_logistic(
         lp = lp + jnp.sum(y * logits - jnp.logaddexp(0.0, logits))
         return lp
 
-    return LogDensityTarget(logdensity, dim)
+    def logdensity_and_grad(theta):
+        import jax as _jax
+
+        log_sigma = theta[0]
+        beta = theta[1:]
+        inv_s2 = jnp.exp(-2.0 * log_sigma)
+        bsq = jnp.sum(jnp.square(beta))
+        logits = x @ beta
+        lp = (-0.5 * jnp.square(log_sigma) - 0.5 * bsq * inv_s2
+              - p * log_sigma
+              + jnp.sum(y * logits - jnp.logaddexp(0.0, logits)))
+        resid = y - _jax.nn.sigmoid(logits)
+        if resid_dtype is not None:
+            resid = resid.astype(resid_dtype)
+        grad_beta = (resid @ x).astype(theta.dtype) - beta * inv_s2
+        grad_ls = -log_sigma + bsq * inv_s2 - p
+        return lp, jnp.concatenate([grad_ls[None], grad_beta])
+
+    return LogDensityTarget(logdensity, dim, logdensity_and_grad)
 
 
 def german_credit_logistic(dtype=jnp.float32) -> LogDensityTarget:

@@ -324,17 +324,22 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             # each stack is read exactly once per leaf (the dominant
             # HBM traffic of the check; see PERF.md profile).
             sd = ck_r.dtype
+            # NOTE output orientation: (2, nS) keeps the minor dim at nS
+            # (lane-friendly) — a (nS, 2) output tiles as T(2,128) with the
+            # minor dim 2 padded to 128 lanes (64× inflation) and cost a
+            # 13 µs/leaf reformat fusion at bench shape (PERF.md profile).
             if is_classic:
                 colA = (h_loc.velocity(z_new.theta) if cheap_vel
                         else z_new.theta)
                 lhsA = ck_r if cheap_vel else ck_vel
                 lhs = jnp.concatenate([lhsA, ck_theta], 0)       # (2S, D)
-                rhs = jnp.stack([colA, vel_new], 1).astype(sd)   # (D, 2)
-                prod = jnp.matmul(
-                    lhs, rhs, precision=getattr(traj, 'uturn_precision', None)
-                ).astype(dtype)                 # (2S, 2)
-                th_dot_va = prod[:max_depth, 0]
-                thck_dot_vnew = prod[max_depth:, 1]
+                rhs = jnp.stack([colA, vel_new], 0).astype(sd)   # (2, D)
+                prod = jnp.einsum(
+                    "kd,sd->ks", rhs, lhs,
+                    precision=getattr(traj, 'uturn_precision', None),
+                ).astype(dtype)                 # (2, 2S)
+                th_dot_va = prod[0, :max_depth]
+                thck_dot_vnew = prod[1, max_depth:]
                 dA_slots = vsign * (th_dot_va - sck_tv)
                 dB_slots = vsign * (
                     jnp.dot(z_new.theta, vel_new) - thck_dot_vnew
@@ -344,17 +349,18 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                 lhsA = ck_r if cheap_vel else ck_vel
                 parts = [lhsA, ck_cum] if cheap_vel else [lhsA, ck_r, ck_cum]
                 lhs = jnp.concatenate(parts, 0)                  # (nS, D)
-                rhs = jnp.stack([colA, vel_new], 1).astype(sd)   # (D, 2)
-                prod = jnp.matmul(
-                    lhs, rhs, precision=getattr(traj, 'uturn_precision', None)
-                ).astype(dtype)                 # (nS, 2)
-                srho_dot_va = prod[:max_depth, 0]
+                rhs = jnp.stack([colA, vel_new], 0).astype(sd)   # (2, D)
+                prod = jnp.einsum(
+                    "kd,sd->ks", rhs, lhs,
+                    precision=getattr(traj, 'uturn_precision', None),
+                ).astype(dtype)                 # (2, nS)
+                srho_dot_va = prod[0, :max_depth]
                 if cheap_vel:
-                    r_dot_vnew = prod[:max_depth, 1]
-                    cum_dot_vnew = prod[max_depth:, 1]
+                    r_dot_vnew = prod[1, :max_depth]
+                    cum_dot_vnew = prod[1, max_depth:]
                 else:
-                    r_dot_vnew = prod[max_depth:2 * max_depth, 1]
-                    cum_dot_vnew = prod[2 * max_depth:, 1]
+                    r_dot_vnew = prod[1, max_depth:2 * max_depth]
+                    cum_dot_vnew = prod[1, 2 * max_depth:]
                 dA_slots = srho_dot_va - sck_cv + sck_rv
                 dB_slots = (jnp.dot(s_rho, vel_new)
                             - cum_dot_vnew + r_dot_vnew)

@@ -468,9 +468,17 @@ def init_state(
     init_theta,
     init_eps=None,
     n_chains: Optional[int] = None,
+    init_mass_matrix: str = "identity",
 ) -> HMCState:
     """Build the initial batched HMCState (≅ sample_init, sampler.jl:36-46,
-    plus the first-step factory path of abstractmcmc.jl:131-166)."""
+    plus the first-step factory path of abstractmcmc.jl:131-166).
+
+    `init_mass_matrix="gradient"` seeds a diagonal metric nutpie-style from
+    the gradient at the initial positions — M⁻¹_j = 1/mean|∇_j ℓπ| — instead
+    of the identity. For poorly scaled targets this shortens the deep-tree
+    phase of early warmup (the dominant warmup cost; dual averaging and the
+    Welford windows refine it as usual). New capability vs the reference
+    (whose metric always starts at I, src/abstractmcmc.jl:374-391)."""
     theta = jnp.asarray(init_theta)
     if theta.ndim == 1:
         if n_chains is None:
@@ -478,6 +486,20 @@ def init_state(
         theta = jnp.broadcast_to(theta[None, :], (n_chains, theta.shape[-1]))
     n_chains = theta.shape[0]
     dtype = theta.dtype
+
+    if init_mass_matrix == "gradient":
+        from .metrics import DiagEuclideanMetric as _DEM
+
+        assert isinstance(metric, _DEM), (
+            "init_mass_matrix='gradient' requires a diagonal metric"
+        )
+        _, grads = jax.vmap(spec.target.logdensity_and_grad)(theta)
+        g = jnp.mean(jnp.abs(grads), axis=0)
+        m_inv0 = 1.0 / jnp.clip(g, 1e-3, 1e6)
+        metric = _DEM(m_inv=m_inv0.astype(dtype),
+                      sqrt_m_inv=jnp.sqrt(m_inv0).astype(dtype))
+    elif init_mass_matrix != "identity":
+        raise ValueError(f"unknown init_mass_matrix {init_mass_matrix!r}")
 
     key, k_eps, k_mom = jax.random.split(key, 3)
     h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
@@ -591,6 +613,7 @@ def sample(
     adaptor: AdaptorConfig = AdaptorConfig(kind=NONE),
     init_eps=None,
     n_chains: Optional[int] = None,
+    init_mass_matrix: str = "identity",
     cross_chain: bool = False,
     coupled: bool = False,
     fuse_draws: int = 0,
@@ -622,7 +645,8 @@ def sample(
         target=target, kernel=kernel, adaptor=adaptor,
         cross_chain=cross_chain, coupled=coupled,
     )
-    state = init_state(key, spec, metric, init_theta, init_eps, n_chains)
+    state = init_state(key, spec, metric, init_theta, init_eps, n_chains,
+                       init_mass_matrix=init_mass_matrix)
 
     if mesh is not None:
         # Shard the chain axis over the device mesh; XLA partitions the whole

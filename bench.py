@@ -78,8 +78,15 @@ def main():
 
         target = std_gaussian(dim)
     else:
-        target = hierarchical_logistic(n=1000, p=dim - 1, dtype=jnp.float32)
+        target = hierarchical_logistic(
+            n=1000, p=dim - 1, dtype=jnp.float32,
+            resid_dtype=os.environ.get("AHMC_BENCH_RESID_DTYPE") or None,
+        )
 
+    # nutpie-style gradient-seeded M⁻¹: warmup 8.5s → 3.4s at bench shape
+    # with unchanged ESS quality (PERF.md); AHMC_BENCH_MM_INIT=identity
+    # restores the reference's I-initialised metric.
+    mm_init = os.environ.get("AHMC_BENCH_MM_INIT", "gradient")
     kernel = HMCKernel(
         Trajectory(
             Leapfrog(step_size=jnp.asarray(0.05, jnp.float32)),
@@ -105,7 +112,7 @@ def main():
     print(f"# init step size: {eps0:.4f}", file=sys.stderr)
 
     state = init_state(k_state, spec, make_metric("diagonal", dim), theta0,
-                       init_eps=eps0)
+                       init_eps=eps0, init_mass_matrix=mm_init)
 
     # Multi-chip: shard the chain axis over all devices (ICI collectives for
     # the cross-chain adaptation reductions are inserted by XLA). Per-host

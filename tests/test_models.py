@@ -180,3 +180,26 @@ def test_spiral_runs():
     phi = np.arctan2(draws[:, 1], draws[:, 0]) % (2 * np.pi)
     arm_dist = np.abs(r[:, None] - 0.5 * (phi[:, None] + 2 * np.pi * np.arange(8)))
     assert np.quantile(arm_dist.min(axis=1), 0.9) < 0.35
+
+
+def test_hierarchical_logistic_analytic_grad():
+    """Analytic logdensity_and_grad matches AD (and the bf16-residual
+    variant is a small bounded perturbation of the exact gradient)."""
+    import jax
+
+    from advancedhmc_tpu.models import hierarchical_logistic
+
+    t = hierarchical_logistic(n=200, p=9, dtype=jnp.float64)
+    th = jax.random.normal(jax.random.PRNGKey(0), (10,), jnp.float64) * 0.5
+    lp_a, g_a = t.logdensity_and_grad(th)
+    lp_b, g_b = jax.value_and_grad(t.logdensity)(th)
+    np.testing.assert_allclose(float(lp_a), float(lp_b), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b), rtol=1e-10)
+
+    tb = hierarchical_logistic(n=200, p=9, dtype=jnp.float64,
+                               resid_dtype="bfloat16")
+    lp_c, g_c = tb.logdensity_and_grad(th)
+    np.testing.assert_allclose(float(lp_c), float(lp_a), rtol=1e-12)
+    rel = np.max(np.abs(np.asarray(g_c) - np.asarray(g_a))
+                 / (1.0 + np.abs(np.asarray(g_a))))
+    assert rel < 0.05, rel

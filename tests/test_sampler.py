@@ -433,3 +433,22 @@ def test_fused_warmup_batched_matches_scan_adaptation():
     med = np.median(m_inv, axis=0)
     np.testing.assert_allclose(med, np.asarray(scales), rtol=0.6)
     assert np.all(np.asarray(st2.adapt.da.eps) > 0)
+
+
+def test_gradient_mass_matrix_init():
+    """init_mass_matrix='gradient' (nutpie-style M⁻¹ seed from |∇ℓπ|) adapts
+    a badly scaled target correctly and starts with much shallower trees."""
+    scales = jnp.asarray([1e-2, 1.0, 1e2, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(
+        Leapfrog(step_size=jnp.asarray(0.1, jnp.float64)),
+        GeneralisedNoUTurn(max_depth=8), "multinomial"))
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(5), target, kernel, metric,
+        jnp.ones(D, jnp.float64), 900, n_adapts=500,
+        adaptor=AdaptorConfig(kind=STAN), n_chains=16, cross_chain=True,
+        init_mass_matrix="gradient", drop_warmup=True)
+    d = np.asarray(res.thetas).reshape(-1, D)
+    np.testing.assert_allclose(d.var(axis=0), np.asarray(scales), rtol=0.35)
+    assert float(np.asarray(res.stats["tree_depth"]).mean()) < 4.0
