@@ -188,13 +188,16 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         ck_theta=stack if is_classic else jnp.zeros((), dtype),
         ck_r=stack,
         ck_vel=jnp.zeros((), dtype) if cheap_vel else stack,
-        ck_cum=stack,
+        # Generalised stores the DIFFERENCE row r_a − cum_a here (the only
+        # combination its span dots need); Strict stores cum_a = Σr itself.
+        # Classic never reads it (position-based criterion) → collapsed.
+        ck_cum=jnp.zeros((), dtype) if is_classic else stack,
         ck_odd_r=stack if is_strict else jnp.zeros((), dtype),
         ck_odd_vel=stack if (is_strict and not cheap_vel) else jnp.zeros((), dtype),
-        # scalar stacks for the expanded span dots (non-strict criteria)
-        sck_rv=(jnp.zeros((max_depth,), dtype)
-                if not (is_strict or is_classic) else jnp.zeros((), dtype)),
-        sck_cv=(jnp.zeros((max_depth,), dtype)
+        # scalar stacks for the expanded span dots (non-strict criteria):
+        # generalised stores dot(r_a − cum_a, vel_a) at write time (sck_ad),
+        # classic stores dot(θ_a, vel_a) (sck_tv)
+        sck_ad=(jnp.zeros((max_depth,), dtype)
                 if not (is_strict or is_classic) else jnp.zeros((), dtype)),
         sck_tv=(jnp.zeros((max_depth,), dtype)
                 if is_classic else jnp.zeros((), dtype)),
@@ -293,7 +296,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             st["ck_theta"], st["ck_r"], st["ck_vel"], st["ck_cum"],
         )
         ck_odd_r, ck_odd_vel = st["ck_odd_r"], st["ck_odd_vel"]
-        sck_rv, sck_cv, sck_tv = st["sck_rv"], st["sck_cv"], st["sck_tv"]
+        sck_ad, sck_tv = st["sck_ad"], st["sck_tv"]
 
         # All K = max_depth-1 candidate spans are checked per leaf (masked by
         # `active`). For Classic/Generalised the span dot-products are
@@ -317,7 +320,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # One-hot picks instead of jnp.take: per-chain dynamic gathers lower
         # to serialized scatters/gathers under vmap on TPU; one-hot matmuls
         # are fully parallel.
-        sel_a = (slot_a[:, None] == jnp.arange(max_depth)[None, :]).astype(dtype)
+        sel_b = slot_a[:, None] == jnp.arange(max_depth)[None, :]  # (K, S)
+        sel_a = sel_b.astype(dtype)
         if not is_strict:
             # Per-slot scalars via ONE fused stack matmul: all stacks are
             # concatenated into a single (nS, D) LHS against a (D, 2) RHS so
@@ -344,29 +348,35 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                 dB_slots = vsign * (
                     jnp.dot(z_new.theta, vel_new) - thck_dot_vnew
                 )
+                dA_k = sel_a @ dA_slots                          # (K,)
+                dB_k = sel_a @ dB_slots
+                turn_k = (dA_k <= 0) | (dB_k <= 0)
             else:
+                # Generalised: per-slot decision values from ONE augmented
+                # matmul. With ck_d := r_a − cum_a stored in the ck_cum slot
+                # and sck_ad := dot(ck_d_row, vel_a) stored at write time,
+                #   uA[s] = dot(velocity(s_rho), r_a) + sck_ad[s]
+                #         = dot(ρ_span, vel_a)            (ref :566-570)
+                #   uB[s] = dot(vel_new, ck_d[s]);  dot(ρ_span, vel_new)
+                #         = dot(s_rho, vel_new) + uB[s]
+                # The span-k decision is a pure function of slot a(k):
+                # compare per slot, then pick with the one-hot mask — the
+                # prod slices feed only elementwise consumers (fused, no
+                # (1, S) intermediates materialised) and there is no
+                # selection matmul.
                 colA = h_loc.velocity(s_rho) if cheap_vel else s_rho
                 lhsA = ck_r if cheap_vel else ck_vel
-                parts = [lhsA, ck_cum] if cheap_vel else [lhsA, ck_r, ck_cum]
-                lhs = jnp.concatenate(parts, 0)                  # (nS, D)
+                lhs = jnp.concatenate([lhsA, ck_cum], 0)         # (2S, D)
                 rhs = jnp.stack([colA, vel_new], 0).astype(sd)   # (2, D)
                 prod = jnp.einsum(
                     "kd,sd->ks", rhs, lhs,
                     precision=getattr(traj, 'uturn_precision', None),
-                ).astype(dtype)                 # (2, nS)
-                srho_dot_va = prod[0, :max_depth]
-                if cheap_vel:
-                    r_dot_vnew = prod[1, :max_depth]
-                    cum_dot_vnew = prod[1, max_depth:]
-                else:
-                    r_dot_vnew = prod[1, max_depth:2 * max_depth]
-                    cum_dot_vnew = prod[1, 2 * max_depth:]
-                dA_slots = srho_dot_va - sck_cv + sck_rv
-                dB_slots = (jnp.dot(s_rho, vel_new)
-                            - cum_dot_vnew + r_dot_vnew)
-            dA_k = sel_a @ dA_slots                              # (K,)
-            dB_k = sel_a @ dB_slots
-            turn_k = (dA_k <= 0) | (dB_k <= 0)
+                ).astype(dtype)                 # (2, 2S)
+                uA = prod[0, :max_depth] + sck_ad
+                uB = prod[1, max_depth:]
+                srv = jnp.dot(s_rho, vel_new)
+                turn_slot = (uA <= 0) | (uB <= -srv)             # (S,)
+                turn_k = jnp.any(sel_b & turn_slot[None, :], axis=-1)
         else:
             r_a = sel_a @ ck_r                                    # (K, D)
             vel_a = (jax.vmap(h_loc.velocity)(r_a) if cheap_vel
@@ -428,20 +438,24 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             ck_vel = jnp.where(
                 mask_even, vel_new.astype(sdtype)[None, :], ck_vel
             )
-        ck_cum = jnp.where(mask_even, s_rho.astype(sdtype)[None, :], ck_cum)
-        if not is_strict:
-            # write-time scalars for the expanded span dots: the checkpoint
-            # being stored IS leaf a of future spans, so dot(r_a, v_a),
-            # dot(cum_a, v_a), dot(θ_a, v_a) are known now.
-            mask_even_s = mask_even[:, 0]
-            if is_classic:
-                sck_tv = jnp.where(mask_even_s,
-                                   jnp.dot(z_new.theta, vel_new), sck_tv)
-            else:
-                sck_rv = jnp.where(mask_even_s,
-                                   jnp.dot(z_new.r, vel_new), sck_rv)
-                sck_cv = jnp.where(mask_even_s,
-                                   jnp.dot(s_rho, vel_new), sck_cv)
+        # write-time scalars for the expanded span dots: the checkpoint
+        # being stored IS leaf a of future spans, so dot(r_a − cum_a, v_a)
+        # and dot(θ_a, v_a) are known now.
+        mask_even_s = mask_even[:, 0]
+        if is_strict:
+            ck_cum = jnp.where(mask_even, s_rho.astype(sdtype)[None, :],
+                               ck_cum)
+        elif is_classic:
+            sck_tv = jnp.where(mask_even_s,
+                               jnp.dot(z_new.theta, vel_new), sck_tv)
+        else:
+            # generalised: ck_cum slot holds the difference row
+            # ck_d = r_a − cum_a (see the span-check einsum above)
+            d_row = z_new.r - s_rho
+            ck_cum = jnp.where(mask_even, d_row.astype(sdtype)[None, :],
+                               ck_cum)
+            sck_ad = jnp.where(mask_even_s,
+                               jnp.dot(d_row, vel_new), sck_ad)
         if is_strict:
             ck_odd_r = jnp.where(
                 mask_odd, z_new.r.astype(sdtype)[None, :], ck_odd_r
@@ -562,8 +576,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             ck_cum=ck_cum,
             ck_odd_r=ck_odd_r,
             ck_odd_vel=ck_odd_vel,
-            sck_rv=sck_rv,
-            sck_cv=sck_cv,
+            sck_ad=sck_ad,
             sck_tv=sck_tv,
         )
         return out

@@ -42,11 +42,11 @@ def main():
 
     target = hierarchical_logistic(n=1000, p=dim - 1, dtype=jnp.float32)
 
-    def make_spec(precision):
+    def make_spec(precision, stack_dtype=None):
         kernel = HMCKernel(Trajectory(
             Leapfrog(step_size=jnp.asarray(0.05, jnp.float32)),
             GeneralisedNoUTurn(max_depth=max_depth), "multinomial",
-            uturn_precision=precision,
+            uturn_precision=precision, stack_dtype=stack_dtype,
         ))
         return SampleSpec(target=target, kernel=kernel,
                           adaptor=AdaptorConfig(kind="stan"),
@@ -75,18 +75,24 @@ def main():
     jax.block_until_ready(state.z.theta)
     print(f"# warmup done {time.time()-t0:.1f}s", file=sys.stderr)
 
-    variants = []
-    for fuse in fuses:
-        variants += [
-            (f"base/f{fuse}", None, None, fuse),
-            (f"prec/f{fuse}", "highest", None, fuse),
-            (f"outbf16/f{fuse}", None, "bfloat16", fuse),
-            (f"prec+outbf16/f{fuse}", "highest", "bfloat16", fuse),
-        ]
+    names = os.environ.get(
+        "AHMC_SWEEP_VARIANTS", "base,prec,outbf16,prec+outbf16"
+    ).split(",")
+    # name -> (uturn_precision, out_dtype, stack_dtype)
+    catalog = {
+        "base": (None, None, None),
+        "prec": ("highest", None, None),
+        "outbf16": (None, "bfloat16", None),
+        "prec+outbf16": ("highest", "bfloat16", None),
+        "stackbf16": (None, None, "bfloat16"),
+        "stackbf16+outbf16": (None, "bfloat16", "bfloat16"),
+    }
+    variants = [(f"{n}/f{fuse}", *catalog[n], fuse)
+                for fuse in fuses for n in names]
 
     results = {}
-    for name, precision, out_dtype, fuse in variants:
-        spec = make_spec(precision)
+    for name, precision, out_dtype, stack_dtype, fuse in variants:
+        spec = make_spec(precision, stack_dtype)
 
         @jax.jit
         def run(state):
