@@ -38,7 +38,7 @@ def _synthetic_data(n: int, p: int, seed: int = 0):
 
 def hierarchical_logistic(
     n: int = 1000, p: int = 24, seed: int = 0, dtype=jnp.float32,
-    resid_dtype=None,
+    resid_dtype=None, fused=False,
 ) -> LogDensityTarget:
     """`resid_dtype` (e.g. "bfloat16") stores the Bernoulli residual
     y − σ(logits) — the only tensor crossing the fwd→grad fusion boundary —
@@ -82,7 +82,56 @@ def hierarchical_logistic(
         grad_ls = -log_sigma + bsq * inv_s2 - p
         return lp, jnp.concatenate([grad_ls[None], grad_beta])
 
-    return LogDensityTarget(logdensity, dim, logdensity_and_grad)
+    if not fused:
+        return LogDensityTarget(logdensity, dim, logdensity_and_grad)
+
+    # `fused`: route BATCHED gradient evaluations (the vmapped hot loop)
+    # through the one-pass Pallas likelihood kernel (ops/fused_logistic.py),
+    # which keeps the (chains, n) logits in VMEM instead of round-tripping
+    # them through HBM between the forward and backward matmuls. "auto"
+    # gates on float32 + a TPU backend at trace time; everything else
+    # (single-chain calls, float64 CPU tests) falls back to the analytic
+    # path above. The prior terms are added outside the kernel (cheap
+    # elementwise ops XLA fuses into neighbours).
+    import jax as _jax
+
+    from ..ops.fused_logistic import fused_logistic_value_grad
+
+    _apply_fused = fused_logistic_value_grad(x, y)
+
+    def _prior_batched(thetas):
+        ls = thetas[:, 0]
+        beta = thetas[:, 1:]
+        inv_s2 = jnp.exp(-2.0 * ls)
+        bsq = jnp.sum(jnp.square(beta), -1)
+        lp = -0.5 * jnp.square(ls) - 0.5 * bsq * inv_s2 - p * ls
+        g0 = -ls + bsq * inv_s2 - p
+        return lp, jnp.concatenate([g0[:, None], -beta * inv_s2[:, None]], 1)
+
+    @_jax.custom_batching.custom_vmap
+    def vg(theta):
+        return logdensity_and_grad(theta)
+
+    @vg.def_vmap
+    def _vg_batched(axis_size, in_batched, thetas):
+        use_kernel = (
+            in_batched[0]
+            and thetas.ndim == 2
+            and thetas.dtype == jnp.float32
+            and _jax.default_backend() not in ("cpu", "gpu")
+        )
+        if use_kernel:
+            lp_lik, gl_lik = _apply_fused(thetas)
+            lp_pri, g_pri = _prior_batched(thetas)
+            out = (lp_pri + lp_lik, g_pri + gl_lik)
+        else:
+            thetas_b = thetas if in_batched[0] else jnp.broadcast_to(
+                thetas[None], (axis_size,) + thetas.shape
+            )
+            out = _jax.vmap(logdensity_and_grad)(thetas_b)
+        return out, (True, True)
+
+    return LogDensityTarget(logdensity, dim, vg)
 
 
 def german_credit_logistic(dtype=jnp.float32) -> LogDensityTarget:

@@ -51,3 +51,40 @@ def test_fused_nuts_megakernel_interpret():
     assert not np.asarray(div).any()
     dep = np.asarray(depth)
     assert 2 <= dep.mean() <= 4  # same regime as the XLA path at eps=0.5
+
+
+def test_fused_logistic_value_grad_interpret():
+    """One-pass logistic likelihood kernel (interpret mode) matches the
+    analytic value_and_grad within bf16-input tolerance."""
+    from advancedhmc_tpu.models.logistic import _synthetic_data, hierarchical_logistic
+    from advancedhmc_tpu.ops.fused_logistic import fused_logistic_value_grad
+
+    n, p = 300, 19
+    x, y = _synthetic_data(n, p)
+    apply_fused = fused_logistic_value_grad(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        block_chains=16, interpret=True,
+    )
+    target = hierarchical_logistic(n=n, p=p, dtype=jnp.float32, fused=False)
+    thetas = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (40, p + 1),
+                                     jnp.float32)
+    lp_ref, g_ref = jax.vmap(target.logdensity_and_grad)(
+        thetas.astype(jnp.float64)
+    )
+    lp_lik, gl = apply_fused(thetas)
+    ls, beta = thetas[:, 0], thetas[:, 1:]
+    inv_s2 = jnp.exp(-2 * ls)
+    bsq = jnp.sum(beta ** 2, -1)
+    lp = -0.5 * ls ** 2 - 0.5 * bsq * inv_s2 - p * ls + lp_lik
+    g = jnp.concatenate(
+        [(-ls + bsq * inv_s2 - p)[:, None], -beta * inv_s2[:, None]], 1
+    ) + gl
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=3e-3)
+    assert float(jnp.max(jnp.abs(g - g_ref.astype(jnp.float32)))) < 0.01 * scale
+
+    # padding edge: chain count not a multiple of the block
+    lp2, gl2 = apply_fused(thetas[:13])
+    np.testing.assert_allclose(np.asarray(lp2), np.asarray(lp_lik[:13]),
+                               rtol=1e-6)
