@@ -505,8 +505,10 @@ def init_state(
     h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
 
     if init_eps is None:
-        # ≅ make_step_size → find_good_stepsize (abstractmcmc.jl:310-354)
-        eps0 = find_good_stepsize(k_eps, h, theta[0])
+        # ≅ make_step_size → find_good_stepsize (abstractmcmc.jl:310-354);
+        # jitted: the search is a bounded while_loop, and eager dispatch
+        # would round-trip per op on remote (tunnelled) devices
+        eps0 = jax.jit(find_good_stepsize)(k_eps, h, theta[0])
     else:
         eps0 = jnp.asarray(init_eps, dtype)
 

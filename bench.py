@@ -95,10 +95,14 @@ def main():
             stack_dtype=os.environ.get("AHMC_BENCH_STACK_DTYPE") or None,
         )
     )
+    from advancedhmc_tpu.adaptation import DualAveragingConfig
+
+    delta = float(os.environ.get("AHMC_BENCH_DELTA", 0.8))
     spec = SampleSpec(
         target=target,
         kernel=kernel,
-        adaptor=AdaptorConfig(kind="stan"),
+        adaptor=AdaptorConfig(kind="stan",
+                              da=DualAveragingConfig(delta=delta)),
         cross_chain=True,
     )
 
@@ -106,13 +110,14 @@ def main():
     k_init, k_eps, k_state = jax.random.split(key, 3)
     theta0 = 0.1 * jax.random.normal(k_init, (n_chains, dim), jnp.float32)
 
-    h0 = Hamiltonian(metric=make_metric("diagonal", dim), target=target)
-    eps0 = jax.jit(find_good_stepsize)(k_eps, h0, theta0[0])
-    eps0 = float(eps0)
-    print(f"# init step size: {eps0:.4f}", file=sys.stderr)
-
+    # eps search runs INSIDE init_state so it sees the (possibly
+    # gradient-seeded) metric — an identity-metric eps is ~2.7× too small
+    # for the seeded M⁻¹ at bench shape, and every warmup transition before
+    # dual averaging corrects it runs trees 1-2 doublings too deep.
     state = init_state(k_state, spec, make_metric("diagonal", dim), theta0,
-                       init_eps=eps0, init_mass_matrix=mm_init)
+                       init_mass_matrix=mm_init)
+    eps0 = float(state.adapt.da.eps)
+    print(f"# init step size: {eps0:.4f}", file=sys.stderr)
 
     # Multi-chip: shard the chain axis over all devices (ICI collectives for
     # the cross-chain adaptation reductions are inserted by XLA). Per-host
