@@ -202,3 +202,35 @@ def test_fixed_and_manual_step_size():
     mssa = ManualSSAdaptor(0.1)
     mssa.set(0.25)
     np.testing.assert_allclose(float(mssa.state.eps), 0.25)
+
+
+def test_nutpie_beats_welford_on_condition_number():
+    """Nutpie's sqrt(var(θ)/var(∇)) preconditioner beats the plain variance
+    estimate on the condition number of the preconditioned covariance in
+    more than half of random correlated Gaussians — the property the
+    reference pins in test/adaptation.jl:173-227 (sampling-free analogue:
+    both estimators are fed exact posterior samples and gradients)."""
+    rng = np.random.default_rng(7)
+    d, n = 8, 4000
+    wins = 0
+    trials = 7
+    for _ in range(trials):
+        a = rng.normal(size=(d, d))
+        cov = a @ a.T + 0.1 * np.eye(d)
+        prec = np.linalg.inv(cov)
+        xs = rng.multivariate_normal(np.zeros(d), cov, size=n)
+        grads = -xs @ prec
+
+        wf = WelfordVarState.init(d, jnp.float64)
+        wf = wf.push_batch(jnp.asarray(xs)).update_estimate()
+        nu = NutpieVarState.init(d, jnp.float64)
+        nu = nu.push_batch(jnp.asarray(xs), jnp.asarray(grads))
+        nu = nu.update_estimate()
+
+        def cond_with(m_inv):
+            s = 1.0 / np.sqrt(np.asarray(m_inv))
+            pc = cov * np.outer(s, s)
+            return np.linalg.cond(pc)
+
+        wins += cond_with(wf.var) > cond_with(nu.var)
+    assert wins > trials // 2, f"nutpie won only {wins}/{trials}"
