@@ -452,3 +452,19 @@ def test_gradient_mass_matrix_init():
     d = np.asarray(res.thetas).reshape(-1, D)
     np.testing.assert_allclose(d.var(axis=0), np.asarray(scales), rtol=0.35)
     assert float(np.asarray(res.stats["tree_depth"]).mean()) < 4.0
+
+
+def test_fused_draws_dense_metric_fallback():
+    """Per-chain dense metric + fuse_draws takes the vmapped fused loop
+    (batch-explicit mode covers diag/unit only) and still samples
+    correctly."""
+    kernel, metric_kind, adaptor, n_adapts = CASES["nuts_mult_dense_stan"]
+    metric = make_metric("dense", D, dtype=jnp.float64)
+    res = sample(
+        jax.random.PRNGKey(5), TARGET, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1000, n_adapts=500, adaptor=adaptor,
+        init_eps=0.25, n_chains=4, fuse_draws=25,
+    )
+    draws = np.asarray(res.thetas[500:]).reshape(-1, D)
+    assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
+    np.testing.assert_allclose(draws.var(axis=0), np.ones(D), atol=0.35)
