@@ -46,11 +46,9 @@ def main():
     from advancedhmc_tpu import (
         AdaptorConfig,
         GeneralisedNoUTurn,
-        Hamiltonian,
         HMCKernel,
         Leapfrog,
         Trajectory,
-        find_good_stepsize,
         init_state,
         make_metric,
         sample_step,
