@@ -614,7 +614,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            adapt_cfg=None, adapt_state=None,
                            adapt_flags=None, unroll: int = 1,
                            out_dtype=None, batched: bool = False,
-                           metric_batch=None, eps_batch=None):
+                           metric_batch=None, eps_batch=None,
+                           stage_slots: int = 0):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -652,6 +653,22 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     finished chains' state drifts harmlessly (every field read after a
     chain finishes — zcand, the out buffers, `ad` — is gated by the chain's
     not-done predicate). Returns batched outputs (C, n_transitions, ...).
+
+    Segmented collection (`stage_slots` = NS > 0, batched mode): the
+    (C, n_transitions, dim) output buffers are the hottest carry traffic of
+    the loop (rewritten via select on EVERY leaf; ~16% of leaf wall at
+    bench shape, PERF.md). They are moved OUT of the per-leaf carry into an
+    outer while-loop: the inner loop records boundary draws into a tiny
+    (C, NS, dim) staging register and exits as soon as ANY chain has filled
+    its NS staging rows (overflow is impossible by construction — the cond
+    is checked before each body call); the outer body then flushes the
+    stage into the big buffers once per segment (amortised over the
+    ~NS·E[tree leaves] leaves of a segment) and re-enters. Statistics are
+    bit-identical to the unsegmented path: recording is merely repositioned.
+    Measured SLOWER at bench shape (10.1 vs 15.2 M leaves/s at δ=0.6: the
+    nested-loop boundary repacks outweigh the saved buffer traffic — see
+    PERF.md), so the default is 0 (single-loop layout); kept as a tested
+    opt-in for shapes with much larger fuse × dim buffers.
     """
     from .hamiltonian import FullMomentumRefreshment
 
@@ -710,6 +727,16 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     edtype = jnp.result_type(jnp.zeros((), state["h0"].dtype))
     t_count = n_transitions
 
+    # per-transition statistic fields and their storage dtypes (shared by
+    # the big output buffers and the staging registers)
+    stat_dtypes = dict(
+        n_steps=jnp.int32, alpha=dtype, logdensity=edtype, energy=edtype,
+        energy_error=edtype, dh_max=edtype, depth=jnp.int32, diverged=bool,
+        eps=dtype,
+    )
+    use_staged = bool(batched and unroll == 1 and stage_slots
+                      and 0 < stage_slots < t_count)
+
     fused_fields = dict(
         t=jnp.asarray(0, jnp.int32),
         all_done=jnp.asarray(False),
@@ -717,16 +744,18 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         # (e.g. bf16): the buffer is rewritten every leaf, so its bytes are
         # hot-loop carry traffic; draws are cast back to `dtype` on return.
         out_theta=jnp.zeros((t_count, dim), jnp.dtype(out_dtype or dtype)),
-        out_n_steps=jnp.zeros((t_count,), jnp.int32),
-        out_alpha=jnp.zeros((t_count,), dtype),
-        out_logdensity=jnp.zeros((t_count,), edtype),
-        out_energy=jnp.zeros((t_count,), edtype),
-        out_energy_error=jnp.zeros((t_count,), edtype),
-        out_dh_max=jnp.zeros((t_count,), edtype),
-        out_depth=jnp.zeros((t_count,), jnp.int32),
-        out_diverged=jnp.zeros((t_count,), bool),
-        out_eps=jnp.zeros((t_count,), dtype),
+        **{f"out_{k}": jnp.zeros((t_count,), dt)
+           for k, dt in stat_dtypes.items()},
     )
+    if use_staged:
+        fused_fields.update(
+            stg_theta=jnp.zeros((stage_slots, dim),
+                                jnp.dtype(out_dtype or dtype)),
+            stg_slot=jnp.zeros((stage_slots,), jnp.int32),
+            stg_cnt=jnp.asarray(0, jnp.int32),
+            **{f"stg_{k}": jnp.zeros((stage_slots,), dt)
+               for k, dt in stat_dtypes.items()},
+        )
     if batched:
         fused_fields = jax.tree_util.tree_map(
             lambda x: jnp.zeros((n_chains,) + x.shape, x.dtype), fused_fields
@@ -743,7 +772,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     def fcond(st):
         return jnp.logical_not(st["all_done"])
 
-    def fbody(st):
+    def fbody(st, staged=False):
         # not-done predicate: folded into the inner zcand select and every
         # boundary-gated write below, so the batched loop needs no outer
         # whole-state done-guard (the vmapped loop's body_pred adds one
@@ -752,7 +781,6 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         st2 = body(dict({k: st[k] for k in body_keys}, act=act))
         boundary = st2["done"] & act
         t = st["t"]
-        onehot = (jnp.arange(t_count) == t) & boundary
 
         zc = st2["zcand"]
         if slim:
@@ -762,23 +790,39 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             zc_theta, zc_ld, zc_grad = zc.theta, zc.logdensity, zc.grad
             energy = zc.energy()
         n_alpha = st2["n_alpha"]
-        rec = lambda buf, val: jnp.where(onehot, val, buf)
-        out = dict(
-            out_theta=jnp.where(onehot[:, None],
-                                zc_theta.astype(st["out_theta"].dtype)[None, :],
-                                st["out_theta"]),
-            out_n_steps=rec(st["out_n_steps"], n_alpha),
-            out_alpha=rec(st["out_alpha"],
-                          st2["sum_alpha"]
-                          / jnp.maximum(n_alpha.astype(dtype), 1.0)),
-            out_logdensity=rec(st["out_logdensity"], zc_ld),
-            out_energy=rec(st["out_energy"], energy),
-            out_energy_error=rec(st["out_energy_error"], energy - st2["h0"]),
-            out_dh_max=rec(st["out_dh_max"], st2["dh_max"]),
-            out_depth=rec(st["out_depth"], st2["depth"]),
-            out_diverged=rec(st["out_diverged"], st2["diverged"]),
-            out_eps=rec(st["out_eps"], st2["eps"]),
+        vals = dict(
+            n_steps=n_alpha,
+            alpha=st2["sum_alpha"] / jnp.maximum(n_alpha.astype(dtype), 1.0),
+            logdensity=zc_ld,
+            energy=energy,
+            energy_error=energy - st2["h0"],
+            dh_max=st2["dh_max"],
+            depth=st2["depth"],
+            diverged=st2["diverged"],
+            eps=st2["eps"],
         )
+        if staged:
+            # record into the next free staging row (cond_inner guarantees
+            # stg_cnt < stage_slots on entry — no overflow possible)
+            oh = (jnp.arange(stage_slots) == st["stg_cnt"]) & boundary
+            out = {f"stg_{k}": jnp.where(oh, v, st[f"stg_{k}"])
+                   for k, v in vals.items()}
+            out["stg_theta"] = jnp.where(
+                oh[:, None],
+                zc_theta.astype(st["stg_theta"].dtype)[None, :],
+                st["stg_theta"],
+            )
+            out["stg_slot"] = jnp.where(oh, t, st["stg_slot"])
+            out["stg_cnt"] = st["stg_cnt"] + boundary.astype(jnp.int32)
+        else:
+            onehot = (jnp.arange(t_count) == t) & boundary
+            out = {f"out_{k}": jnp.where(onehot, v, st[f"out_{k}"])
+                   for k, v in vals.items()}
+            out["out_theta"] = jnp.where(
+                onehot[:, None],
+                zc_theta.astype(st["out_theta"].dtype)[None, :],
+                st["out_theta"],
+            )
 
         t_new = jnp.where(boundary, t + 1, t)
         all_done = t_new >= t_count
@@ -872,7 +916,44 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         fbody = fbody_unrolled
 
-    if batched:
+    if batched and use_staged:
+        out_names = ["out_theta"] + [f"out_{k}" for k in stat_dtypes]
+        vbody = jax.vmap(lambda st: fbody(st, staged=True))
+        slots = jnp.arange(t_count)
+
+        def cond_inner(st):
+            return jnp.any(jnp.logical_not(st["all_done"])) & jnp.logical_not(
+                jnp.any(st["stg_cnt"] >= stage_slots)
+            )
+
+        def outer_body(full):
+            st = {k: v for k, v in full.items() if k not in out_names}
+            st = jax.lax.while_loop(cond_inner, vbody, st)
+            out = {k: full[k] for k in out_names}
+            # flush staging rows 0..NS-1 into the big buffers (once per
+            # segment — this is the ONLY place the (C, T, D) buffer is
+            # rewritten)
+            for j in range(stage_slots):
+                valid = st["stg_cnt"] > j
+                ohj = (slots[None, :] == st["stg_slot"][:, j][:, None]) \
+                    & valid[:, None]
+                out["out_theta"] = jnp.where(
+                    ohj[:, :, None],
+                    st["stg_theta"][:, j][:, None, :],
+                    out["out_theta"],
+                )
+                for k in stat_dtypes:
+                    out[f"out_{k}"] = jnp.where(
+                        ohj, st[f"stg_{k}"][:, j][:, None], out[f"out_{k}"]
+                    )
+            return dict(st, stg_cnt=jnp.zeros_like(st["stg_cnt"]), **out)
+
+        final = jax.lax.while_loop(
+            lambda full: jnp.any(jnp.logical_not(full["all_done"])),
+            outer_body,
+            fstate,
+        )
+    elif batched:
         final = jax.lax.while_loop(
             lambda st: jnp.any(jnp.logical_not(st["all_done"])),
             jax.vmap(fbody),

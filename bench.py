@@ -95,7 +95,14 @@ def main():
     )
     from advancedhmc_tpu.adaptation import DualAveragingConfig
 
-    delta = float(os.environ.get("AHMC_BENCH_DELTA", 0.8))
+    # δ=0.6 measured optimal for ESS/s on this posterior: ESS/draw stays ≈1
+    # (estimator-saturating) all the way down to δ=0.6 while trees shrink to
+    # ~7 leaves/transition, and the tighter tree-size distribution all but
+    # removes the batched loop's max-over-chains lane waste. δ≤0.55 falls
+    # off a cliff (DA equilibrium misses the target; divergences at 0.5).
+    # Posterior moments at 0.6 match δ=0.8/0.9 to 4 decimals; divergence
+    # rate 0. See PERF.md "Sampler-hyperparameter sweep".
+    delta = float(os.environ.get("AHMC_BENCH_DELTA", 0.6))
     spec = SampleSpec(
         target=target,
         kernel=kernel,
@@ -157,11 +164,16 @@ def main():
             return new_st, (new_st.z.theta, stats["n_steps"])
         return jax.lax.scan(body, state, flags)
 
+    stage = int(os.environ.get("AHMC_BENCH_STAGE", 0))
+
     @jax.jit
     def run_chunk_fused(state):
         new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
-                                                 unroll=unroll)
-        return new_st, (thetas, stats["n_steps"])
+                                                 unroll=unroll,
+                                                 stage_slots=stage)
+        return new_st, (thetas, stats["n_steps"],
+                        jnp.sum(stats["numerical_error"]),
+                        jnp.mean(stats["acceptance_rate"]))
 
     # --- warmup (chunked, untimed beyond wall) ---
     use_fw = fuse_warmup > 1 and n_warmup % fuse_warmup == 0
@@ -205,10 +217,14 @@ def main():
         run_chunk_collect.lower(state, chunk_flags(n_warmup, chunk)).compile()
     thetas_chunks = []
     steps_chunks = []
+    div_chunks = []
+    acc_chunks = []
     t0 = time.time()
     for start in range(n_warmup, n_warmup + n_draws, chunk):
         if fuse > 1:
-            state, (th, ns) = run_chunk_fused(state)
+            state, (th, ns, ndiv, acc) = run_chunk_fused(state)
+            div_chunks.append(ndiv)
+            acc_chunks.append(acc)
         else:
             state, (th, ns) = run_chunk_collect(state, chunk_flags(start, chunk))
         thetas_chunks.append(th)
@@ -219,6 +235,11 @@ def main():
     thetas_np = np.concatenate([np.asarray(t) for t in thetas_chunks], axis=0)
     total_leapfrogs = float(sum(np.asarray(s, np.float64).sum()
                                 for s in steps_chunks))
+    n_transitions_total = n_draws * n_chains
+    div_rate = (float(sum(float(np.asarray(d)) for d in div_chunks))
+                / n_transitions_total if div_chunks else float("nan"))
+    accept_mean = (float(np.mean([float(np.asarray(a)) for a in acc_chunks]))
+                   if acc_chunks else float("nan"))
 
     # Bulk ESS pooled over chains (subsample chains to bound host FFT cost)
     from advancedhmc_tpu.diagnostics import effective_sample_size as ess_fn
@@ -241,6 +262,13 @@ def main():
         "warmup_s": round(t_warm, 2),
         "sampling_s": round(t_draw, 2),
         "median_pooled_ess": round(float(np.median(ess)), 1),
+        "min_pooled_ess": round(float(np.min(ess)), 1),
+        "divergence_rate": round(div_rate, 6),
+        "accept_mean": round(accept_mean, 4),
+        "mean_logsigma": round(float(thetas_np[:, :, 0].mean()), 5),
+        "sd_logsigma": round(float(thetas_np[:, :, 0].std()), 5),
+        "mean_beta_norm": round(float(np.linalg.norm(
+            thetas_np[:, :, 1:].mean((0, 1)))), 5),
         "init_step_size": round(eps0, 5),
         "fuse": fuse,
         "device": str(jax.devices()[0]),

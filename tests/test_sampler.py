@@ -468,3 +468,37 @@ def test_fused_draws_dense_metric_fallback():
     draws = np.asarray(res.thetas[500:]).reshape(-1, D)
     assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
     np.testing.assert_allclose(draws.var(axis=0), np.ones(D), atol=0.35)
+
+
+def test_segmented_collection_bit_identical():
+    """Segmented draw collection (staging registers + outer flush) is a pure
+    reorganisation of the batched fused loop: outputs must be bit-identical
+    to the single-loop layout (stage_slots=0)."""
+    from advancedhmc_tpu.hamiltonian import FullMomentumRefreshment, Hamiltonian
+    from advancedhmc_tpu.nuts import nuts_transitions_fused
+
+    d, c, t = D, 16, 12
+    h = Hamiltonian(metric=make_metric("diagonal", d, dtype=jnp.float64),
+                    target=TARGET)
+    traj = Trajectory(Leapfrog(step_size=jnp.asarray(0.25, jnp.float64)),
+                      GeneralisedNoUTurn(max_depth=6), "multinomial")
+    keys = jax.random.split(jax.random.PRNGKey(0), c)
+    theta0 = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (c, d),
+                                     jnp.float64)
+    z0 = jax.vmap(h.init_phasepoint)(
+        jax.random.split(jax.random.PRNGKey(2), c), theta0
+    )
+    ref = FullMomentumRefreshment()
+    outs = {}
+    for ns in (0, 3):
+        zf, ths, stats = jax.jit(
+            lambda k, z, ns=ns: nuts_transitions_fused(
+                k, h, traj, z, t, ref, batched=True, stage_slots=ns
+            )
+        )(keys, z0)
+        outs[ns] = (np.asarray(zf.theta), np.asarray(ths),
+                    {k: np.asarray(v) for k, v in stats.items()})
+    np.testing.assert_array_equal(outs[0][0], outs[3][0])
+    np.testing.assert_array_equal(outs[0][1], outs[3][1])
+    for k in outs[0][2]:
+        np.testing.assert_array_equal(outs[0][2][k], outs[3][2][k])
