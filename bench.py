@@ -62,7 +62,11 @@ def main():
     n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 256))
     n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 256))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
-    max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 8))
+    # depth 6 swept optimal at δ=0.6 (mean tree depth ~2.8; the cap trims
+    # the rare deep trajectories that set the fused block's max-over-chains
+    # iteration count): 4→2.18M, 5→2.42M, 6→2.54M, 8→2.13M ESS/s with
+    # identical posterior moments and min-dim ESS (PERF.md).
+    max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 6))
     chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 128))
     fuse = int(os.environ.get("AHMC_BENCH_FUSE", 16))
     unroll = int(os.environ.get("AHMC_BENCH_UNROLL", 1))
