@@ -27,7 +27,7 @@ def main():
         AdaptorConfig, GeneralisedNoUTurn, Hamiltonian, HMCKernel, Leapfrog,
         Trajectory, find_good_stepsize, init_state, make_metric,
     )
-    from advancedhmc_tpu.adaptation import adapt_flags
+    from advancedhmc_tpu.adaptation import DualAveragingConfig, adapt_flags
     from advancedhmc_tpu.sampler import (
         SampleSpec, fused_draw_phase, fused_warmup_phase_crosschain,
     )
@@ -47,7 +47,8 @@ def main():
         GeneralisedNoUTurn(max_depth=max_depth), "multinomial",
     ))
     spec = SampleSpec(target=target, kernel=kernel,
-                      adaptor=AdaptorConfig(kind="stan"), cross_chain=True)
+                      adaptor=AdaptorConfig(kind="stan", da=DualAveragingConfig(
+        delta=float(os.environ.get("AHMC_BENCH_DELTA", 0.6)))), cross_chain=True)
 
     key = jax.random.PRNGKey(0)
     k_init, k_eps, k_state = jax.random.split(key, 3)

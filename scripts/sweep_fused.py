@@ -26,7 +26,7 @@ def main():
         AdaptorConfig, GeneralisedNoUTurn, Hamiltonian, HMCKernel, Leapfrog,
         Trajectory, find_good_stepsize, init_state, make_metric,
     )
-    from advancedhmc_tpu.adaptation import adapt_flags
+    from advancedhmc_tpu.adaptation import DualAveragingConfig, adapt_flags
     from advancedhmc_tpu.sampler import (
         SampleSpec, fused_draw_phase, fused_warmup_phase_crosschain,
     )
@@ -49,7 +49,8 @@ def main():
             uturn_precision=precision, stack_dtype=stack_dtype,
         ))
         return SampleSpec(target=target, kernel=kernel,
-                          adaptor=AdaptorConfig(kind="stan"),
+                          adaptor=AdaptorConfig(kind="stan", da=DualAveragingConfig(
+        delta=float(os.environ.get("AHMC_BENCH_DELTA", 0.6)))),
                           cross_chain=True)
 
     spec0 = make_spec(None)
