@@ -59,7 +59,7 @@ def main():
     from advancedhmc_tpu.models import hierarchical_logistic
 
     n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 4096))
-    n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 256))
+    n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 512))  # 4 chunks: timing noise ~halves vs 256
     n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 256))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     # depth 6 swept optimal at δ=0.6 (mean tree depth ~2.8; the cap trims
