@@ -67,14 +67,28 @@ def main():
     # iteration count): 4→2.18M, 5→2.42M, 6→2.54M, 8→2.13M ESS/s with
     # identical posterior moments and min-dim ESS (PERF.md).
     max_depth = int(os.environ.get("AHMC_BENCH_MAX_DEPTH", 6))
-    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 128))
+    # chunk 256 = 2 dispatches for 512 draws: +10% ESS/s vs chunk=128 (4
+    # dispatches; tunnel dispatch latency is ~25 ms/call and only partially
+    # pipelined). 512 (1 dispatch) measured identical; 256 keeps single
+    # executions well under the tunnel's ~2-minute limit.
+    chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 256))
     fuse = int(os.environ.get("AHMC_BENCH_FUSE", 16))
     unroll = int(os.environ.get("AHMC_BENCH_UNROLL", 1))
     # warmup fuse block 8: DA stays calibrated (accept 0.802 @ delta 0.8,
     # 0.591 @ 0.6) while warmup wall drops ~2.4x vs the synchronised scan.
-    # Block 16 DIVERGES at delta=0.6 (the longer dual-averaging replay
-    # overshoots eps: accept 0, divergence rate 25%) — do not raise.
+    # Block 16 diverges at delta=0.6 (the once-per-block dual-averaging
+    # update overshoots eps: accept 0, divergence rate 25%) — measured BOTH
+    # from the start AND when switched to only after n_warmup/2 via
+    # AHMC_BENCH_FUSE_WARMUP_LATE (eps 0.59 → 1.23 within 8 late blocks):
+    # one block-mean-α DA observation per 16 stale-eps transitions is
+    # intrinsically unstable at this target. Do not raise.
     fuse_warmup = int(os.environ.get("AHMC_BENCH_FUSE_WARMUP", 8))
+    fuse_warmup_late = int(os.environ.get("AHMC_BENCH_FUSE_WARMUP_LATE", 0))
+    # Early-warmup tree-depth cap: warmup runs 16.7 leaves/transition vs ~7
+    # in draws (eps/metric still equilibrating → trees near the depth cap),
+    # so capping depth for the first AHMC_BENCH_FW_SWITCH iterations trims
+    # the dominant warmup cost. 0 = off.
+    early_depth = int(os.environ.get("AHMC_BENCH_EARLY_DEPTH", 0))
 
     model = os.environ.get("AHMC_BENCH_MODEL", "logistic")
     if model == "gaussian":
@@ -184,27 +198,58 @@ def main():
     # --- warmup (chunked, untimed beyond wall) ---
     use_fw = fuse_warmup > 1 and n_warmup % fuse_warmup == 0
     if use_fw:
+        import functools
+
         from advancedhmc_tpu.sampler import fused_warmup_phase_crosschain
 
-        @jax.jit
-        def run_warm_chunk(state, fl):
-            st, _, _ = fused_warmup_phase_crosschain(
-                spec, state, fl["is_adapt"].shape[0], fuse_warmup, flags=fl
+        spec_early = spec
+        if early_depth and early_depth < max_depth:
+            kernel_early = HMCKernel(
+                Trajectory(
+                    Leapfrog(step_size=jnp.asarray(0.05, jnp.float32)),
+                    GeneralisedNoUTurn(max_depth=early_depth),
+                    "multinomial",
+                    stack_dtype=os.environ.get("AHMC_BENCH_STACK_DTYPE")
+                    or None,
+                )
             )
-            return st
+            spec_early = SampleSpec(
+                target=target, kernel=kernel_early, adaptor=spec.adaptor,
+                cross_chain=True,
+            )
 
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def run_warm_chunk(state, fl, block, early=False):
+            st, _, wstats = fused_warmup_phase_crosschain(
+                spec_early if early else spec, state,
+                fl["is_adapt"].shape[0], block, flags=fl
+            )
+            return st, jnp.sum(wstats["n_steps"])
+
+    fw_switch = int(os.environ.get("AHMC_BENCH_FW_SWITCH", n_warmup // 2))
+    warm_leapfrogs = 0.0
     t0 = time.time()
     if use_fw:
-        wchunk = fuse_warmup * max(1, chunk // fuse_warmup)
         pos = 0
         while pos < n_warmup:
+            early = bool(early_depth) and pos < fw_switch
+            block = (fuse_warmup_late
+                     if fuse_warmup_late > 1 and pos >= fw_switch
+                     else fuse_warmup)
+            wchunk = block * max(1, chunk // block)
             size = min(wchunk, n_warmup - pos)
-            size -= size % fuse_warmup
-            state = run_warm_chunk(state, chunk_flags(pos, size))
+            if early:
+                size = min(size, fw_switch - pos)
+            size -= size % block
+            state, wlf = run_warm_chunk(state, chunk_flags(pos, size), block,
+                                        early)
             jax.block_until_ready(state.z.theta)
+            warm_leapfrogs += float(wlf)
             eps_now = float(jnp.mean(state.adapt.da.eps))
-            print(f"# fused warmup {pos}/{n_warmup} eps={eps_now:.4f} "
-                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
+            print(f"# fused warmup {pos}/{n_warmup} block={block} "
+                  f"eps={eps_now:.4f} leapfrogs={warm_leapfrogs:.3g} "
+                  f"({time.time()-t0:.0f}s)",
+                  file=sys.stderr)
             pos += size
     else:
         for start in range(0, n_warmup, chunk):
@@ -217,10 +262,17 @@ def main():
     t_warm = time.time() - t0
 
     # --- timed sampling phase (pre-compile excluded from timing) ---
+    # One throwaway execution after compile: on a fresh process the first
+    # executions over the tunnel pay program-load/data-upload costs (measured
+    # 1.9x on the whole timed window with a cold cache); the result is
+    # discarded so the timed loop still starts from `state`.
     if fuse > 1:
         run_chunk_fused.lower(state).compile()
+        jax.block_until_ready(run_chunk_fused(state))
     else:
         run_chunk_collect.lower(state, chunk_flags(n_warmup, chunk)).compile()
+        jax.block_until_ready(
+            run_chunk_collect(state, chunk_flags(n_warmup, chunk)))
     thetas_chunks = []
     steps_chunks = []
     div_chunks = []
