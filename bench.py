@@ -72,6 +72,7 @@ def main():
     # pipelined). 512 (1 dispatch) measured identical; 256 keeps single
     # executions well under the tunnel's ~2-minute limit.
     chunk = int(os.environ.get("AHMC_BENCH_CHUNK", 256))
+    chunk = min(chunk, n_draws)  # small-shape runs: never overrun the draws
     fuse = int(os.environ.get("AHMC_BENCH_FUSE", 16))
     unroll = int(os.environ.get("AHMC_BENCH_UNROLL", 1))
     # warmup fuse block 8: DA stays calibrated (accept 0.802 @ delta 0.8,
