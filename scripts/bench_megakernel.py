@@ -26,8 +26,10 @@ from advancedhmc_tpu.ops.fused_nuts_kernel import fused_nuts_pallas
 C = int(os.environ.get("MK_CHAINS", 4096))
 DIM = 100
 T = int(os.environ.get("MK_T", 64))
-MAX_DEPTH = 8
+MAX_DEPTH = int(os.environ.get("MK_MAX_DEPTH", 8))
 BLOCK = int(os.environ.get("MK_BLOCK", 512))
+DELTA = float(os.environ.get("MK_DELTA", 0.8))
+REPS = int(os.environ.get("MK_REPS", 1))
 
 
 def main():
@@ -40,11 +42,16 @@ def main():
     from advancedhmc_tpu.adaptation import adapt_flags
     from advancedhmc_tpu.sampler import SampleSpec
 
+    from advancedhmc_tpu.adaptation import DualAveragingConfig
+
     kernel = HMCKernel(Trajectory(
         Leapfrog(step_size=jnp.asarray(0.05, jnp.float32)),
         GeneralisedNoUTurn(max_depth=MAX_DEPTH), "multinomial"))
-    spec = SampleSpec(target=target, kernel=kernel,
-                      adaptor=AdaptorConfig(kind="stan"), cross_chain=True)
+    spec = SampleSpec(
+        target=target, kernel=kernel,
+        adaptor=AdaptorConfig(kind="stan",
+                              da=DualAveragingConfig(delta=DELTA)),
+        cross_chain=True)
     key = jax.random.PRNGKey(0)
     theta0 = 0.1 * jax.random.normal(key, (C, DIM), jnp.float32)
     state = init_state(key, spec, make_metric("diagonal", DIM), theta0,
@@ -95,26 +102,38 @@ def main():
     # --- Pallas megakernel ---
     fn, data = hierarchical_logistic_block(n=1000, p=DIM - 1, d_pad=128)
 
-    def run_pal(seed):
+    def run_pal(seed, th0):
         return fused_nuts_pallas(
-            fn, th_start, m_inv, eps, seed, data, dim=DIM,
+            fn, th0, m_inv, eps, seed, data, dim=DIM,
             n_transitions=T, max_depth=MAX_DEPTH, block_chains=BLOCK)
 
-    out = run_pal(11)
+    out = run_pal(11, th_start)
     jax.block_until_ready(out[0])
     t0 = time.time()
-    out = run_pal(12)
-    jax.block_until_ready(out[0])
+    # REPS sequential kernel calls threading the positions (the multi-call
+    # pattern a production small-T configuration would use)
+    th0 = th_start
+    lf_p = 0.0
+    outs = []
+    for rep in range(REPS):
+        out = run_pal(12 + rep, th0)
+        outs.append(out)
+        th0 = out[0][-1]
+    jax.block_until_ready(th0)
     t_pal = time.time() - t0
-    thetas_p, nsteps_p, depth_p, div_p = out
+    thetas_p = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+    nsteps_p = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+    depth_p = np.concatenate([np.asarray(o[2]) for o in outs], axis=0)
+    div_p = np.concatenate([np.asarray(o[3]) for o in outs], axis=0)
     lf_p = float(np.asarray(nsteps_p, np.float64).sum())
-    print(f"Pallas fused: {t_pal:6.2f}s  {C*T/t_pal:9.0f} draws/s  "
-          f"{lf_p/t_pal:12.0f} leapfrog/s  speedup {t_xla/t_pal:.2f}x")
+    print(f"Pallas fused: {t_pal:6.2f}s  {C*T*REPS/t_pal:9.0f} draws/s  "
+          f"{lf_p/t_pal:12.0f} leapfrog/s  speedup {t_xla*REPS/t_pal:.2f}x")
 
     # --- statistical agreement ---
     burn = T // 4
+    burn_p = (T * REPS) // 4
     dx = np.asarray(ths_x)[:, burn:, :].reshape(-1, DIM)
-    dp = np.asarray(thetas_p)[burn:].reshape(-1, DIM)
+    dp = np.asarray(thetas_p)[burn_p:].reshape(-1, DIM)
     m_err = np.abs(dx.mean(0) - dp.mean(0)).max()
     s_err = np.abs(dx.std(0) - dp.std(0)).max() / dx.std(0).mean()
     print(f"mean diff {m_err:.4f}  rel std diff {s_err:.4f}")
@@ -124,11 +143,12 @@ def main():
     ess_x = np.median(np.asarray(ahmc.effective_sample_size(
         jnp.asarray(np.swapaxes(np.asarray(ths_x)[:512, burn:], 0, 1)))))
     ess_p = np.median(np.asarray(ahmc.effective_sample_size(
-        jnp.asarray(np.asarray(thetas_p)[burn:, :512]))))
+        jnp.asarray(np.asarray(thetas_p)[burn_p:, :512]))))
     print(f"median pooled ESS (512 chains): xla {ess_x:.0f} pallas {ess_p:.0f}")
+    tr = T * REPS
     print(f"ESS/s full-chain est: xla "
           f"{ess_x*(C/512)/t_xla*( (T-burn)/T ):.0f}  pallas "
-          f"{ess_p*(C/512)/t_pal*((T-burn)/T):.0f}")
+          f"{ess_p*(C/512)/t_pal*((tr-burn_p)/tr):.0f}")
 
 
 if __name__ == "__main__":
