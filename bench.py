@@ -228,12 +228,46 @@ def main():
             return st, jnp.sum(wstats["n_steps"])
 
     fw_switch = int(os.environ.get("AHMC_BENCH_FW_SWITCH", n_warmup // 2))
+    # At the capped→full-depth switch, re-run the Stan init step-size search
+    # on the CURRENT (window-adapted) metric and re-anchor dual averaging at
+    # the result — the capped-tree DA equilibrium is far from the full-depth
+    # one (measured eps 0.30 vs 0.64) and the term buffer alone cannot
+    # recover from a bad anchor. CAVEAT: the post-switch phase must be long
+    # enough (≥~50 iterations) to absorb the mu=log(10·eps) re-anchor
+    # transient — with 16-32 late iterations DA finalizes mid-transient and
+    # the draws diverge (measured at FW_SWITCH=224/256 and on small smokes).
+    eps_research = os.environ.get("AHMC_BENCH_EPS_RESEARCH") == "1"
+    # Scale on the re-anchor. Default 1.0: the one-leapfrog search lands
+    # ABOVE the full-trajectory DA equilibrium (0.90 vs 0.647 on the adapted
+    # metric) and that is the stable interaction with Stan's mu = log(10·ε)
+    # shrinkage anchor — from an overestimate, α < δ pulls ε down in a
+    # controlled descent. Re-anchoring AT the equilibrium (scale 0.7)
+    # measured WORSE: α ≈ δ makes H̄ ≈ 0 and the first DA iterates jump ε
+    # toward exp(mu) = 10× the anchor (warmup 5.75s vs 4.5s, accept 0.584).
+    eps_rescale = float(os.environ.get("AHMC_BENCH_EPS_RESEARCH_SCALE", 1.0))
     warm_leapfrogs = 0.0
     t0 = time.time()
     if use_fw:
+        from advancedhmc_tpu import Hamiltonian
+        from advancedhmc_tpu.adaptation.stepsize import DualAveragingState
+        from advancedhmc_tpu.stepsize_search import find_good_stepsize
+
+        @jax.jit
+        def research_eps(state):
+            h_now = Hamiltonian(metric=state.metric, target=spec.target)
+            k_eps2 = jax.random.fold_in(state.key, 7)
+            return find_good_stepsize(k_eps2, h_now, state.z.theta[0])
+
         pos = 0
         while pos < n_warmup:
             early = bool(early_depth) and pos < fw_switch
+            if (eps_research and early_depth and pos == fw_switch
+                    and pos > 0):
+                eps_new = research_eps(state) * eps_rescale
+                state = state.replace(adapt=state.adapt.replace(
+                    da=DualAveragingState.init(eps_new)))
+                print(f"# re-anchored eps at switch: {float(eps_new):.4f}",
+                      file=sys.stderr)
             block = (fuse_warmup_late
                      if fuse_warmup_late > 1 and pos >= fw_switch
                      else fuse_warmup)
