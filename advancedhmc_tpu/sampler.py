@@ -631,11 +631,29 @@ def sample(
     progress: bool = False,
     progress_every: int = 100,
     verbose: bool = False,
+    warmup_depth_cap: Optional[int] = None,
+    warmup_cap_frac: float = 0.75,
+    warmup_eps_research: bool = False,
 ) -> SampleResult:
     """Sample `n_samples` total iterations (first `n_adapts` adapting).
 
     Mirrors `sample` (/root/reference/src/sampler.jl:159-248) including the
     default n_adapts = min(n_samples ÷ 10, 1000) (sampler.jl:115,166).
+
+    Fast warmup (beyond the reference; cross-chain adaptation only):
+    `warmup_depth_cap` runs the first `warmup_cap_frac` of warmup with the
+    NUTS tree depth capped at that value. Warmup cost is dominated by
+    dual-averaging transients after each Stan window reset (deep-tree
+    episodes whose max-over-chains sets the batched loop's iteration
+    count); the cap bounds them, halving the warmup wall at bench shape
+    (PERF.md "Warmup anatomy"). Because the capped-tree DA equilibrium
+    differs from the full-depth one, `warmup_eps_research=True`
+    additionally re-runs the Stan init step-size search on the
+    window-adapted metric at the capped→full switch and re-anchors dual
+    averaging there — restoring on-target acceptance. The post-switch
+    phase must be long enough (≳50 iterations) to absorb the
+    mu = log(10·ε) re-anchor transient. Draws always run at the
+    trajectory's full max_depth.
     """
     if n_adapts is None:
         n_adapts = min(n_samples // 10, 1000)
@@ -749,6 +767,55 @@ def sample(
         and n_adapts % fuse_warmup_block == 0
     )
 
+    # --- fast warmup: depth-capped early phase (+ optional eps re-anchor) ---
+    use_depth_cap = (
+        warmup_depth_cap is not None
+        and dynamic
+        and cross_chain
+        and n_adapts > 0
+        and warmup_depth_cap < kernel.trajectory.criterion.max_depth
+        and (use_fused_warmup_cc or (drop_warmup and not use_fused_warmup))
+    )
+    if use_depth_cap:
+        import dataclasses as _dc
+
+        _crit_c = _dc.replace(kernel.trajectory.criterion,
+                              max_depth=int(warmup_depth_cap))
+        _spec_capped = dataclasses.replace(
+            spec, kernel=kernel.replace(
+                trajectory=kernel.trajectory.replace(criterion=_crit_c)
+            )
+        )
+        _round = fuse_warmup_block if use_fused_warmup_cc else 1
+        n_cap = int(n_adapts * warmup_cap_frac) // _round * _round
+        n_cap = max(_round, min(n_cap, n_adapts))
+        if warmup_eps_research and n_cap >= n_adapts:
+            raise ValueError(
+                "warmup_eps_research needs a full-depth phase after the "
+                "switch (warmup_cap_frac < 1); the dual-averaging re-anchor "
+                "transient must be absorbed before finalize"
+            )
+    else:
+        n_cap = 0
+        _spec_capped = spec
+
+    def _eps_reanchor(state):
+        """Re-run the init step-size search on the window-adapted metric and
+        re-anchor dual averaging there (see `sample` docstring). The search
+        result overestimates the full-trajectory equilibrium — exactly what
+        Stan's mu = log(10·ε) shrinkage anchor needs (anchoring AT the
+        equilibrium makes the first iterates jump toward 10× the anchor;
+        PERF.md "Warmup anatomy")."""
+        from .adaptation.stepsize import DualAveragingState as _DAS
+
+        h_now = Hamiltonian(metric=state.metric, target=spec.target,
+                            kinetic=spec.kinetic)
+        k_eps = jax.random.fold_in(state.key, 0x5e4c)
+        eps_new = jax.jit(find_good_stepsize)(k_eps, h_now, state.z.theta[0])
+        return state.replace(
+            adapt=state.adapt.replace(da=_DAS.init(eps_new))
+        )
+
     if online:
         from .diagnostics import online_init, online_summary, online_update
 
@@ -810,13 +877,46 @@ def sample(
             print("[advancedhmc_tpu] note: fuse_draws requested but unused "
                   "(requires a dynamic criterion, uncoupled chains, and "
                   "fuse_draws | draw count) — using the scan draw phase")
+        if warmup_depth_cap is not None and not use_depth_cap:
+            print("[advancedhmc_tpu] note: warmup_depth_cap requested but "
+                  "unsupported here (requires cross-chain adaptation, a "
+                  "dynamic criterion, a cap below max_depth, and either "
+                  "fused cross-chain warmup or drop_warmup) — running the "
+                  "standard warmup")
 
     om_final = None
     if use_fused_warmup or use_fused_warmup_cc:
         # adaptation inside/around the fused loop (per-chain: reference
         # semantics at chain-local boundaries; cross-chain: block-replayed),
         # async lanes; draws follow fused or scan per fuse_draws.
-        if use_fused_warmup_cc:
+        if use_fused_warmup_cc and use_depth_cap:
+            warm_flags_all = jax.tree_util.tree_map(
+                lambda a: a[:n_adapts], flags
+            )
+            fl_cap = jax.tree_util.tree_map(lambda a: a[:n_cap],
+                                            warm_flags_all)
+            state, th_c, st_c = fused_warmup_phase_crosschain(
+                _spec_capped, state, n_cap, fuse_warmup_block, flags=fl_cap
+            )
+            if n_cap < n_adapts:
+                if warmup_eps_research:
+                    state = _eps_reanchor(state)
+                fl_full = jax.tree_util.tree_map(lambda a: a[n_cap:],
+                                                 warm_flags_all)
+                state, th_f, st_f = fused_warmup_phase_crosschain(
+                    spec, state, n_adapts - n_cap, fuse_warmup_block,
+                    flags=fl_full
+                )
+                warm_thetas = jnp.concatenate([th_c, th_f], axis=0)
+                warm_stats = {
+                    k: jnp.concatenate(
+                        [st_c[k].astype(st_f[k].dtype), st_f[k]], axis=0
+                    )
+                    for k in st_f
+                }
+            else:
+                warm_thetas, warm_stats = th_c, st_c
+        elif use_fused_warmup_cc:
             state, warm_thetas, warm_stats = fused_warmup_phase_crosschain(
                 spec, state, n_adapts, fuse_warmup_block
             )
@@ -838,10 +938,39 @@ def sample(
             }
     elif n_adapts > 0 and drop_warmup:
         warm_flags = jax.tree_util.tree_map(lambda a: a[:n_adapts], flags)
-        warm_step = step_stats_only if collect_warmup_stats else (
-            lambda s, f: (sample_step(spec, s, f)[0], None)
-        )
-        state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
+
+        def _warm_step(spec_w):
+            if collect_warmup_stats:
+                def f(s, fl):
+                    new_s, st = sample_step(spec_w, s, fl)
+                    _maybe_progress(new_s, st)
+                    return new_s, st
+            else:
+                def f(s, fl):
+                    return sample_step(spec_w, s, fl)[0], None
+            return f
+
+        if use_depth_cap:
+            fl_cap, fl_full = (
+                jax.tree_util.tree_map(lambda a: a[:n_cap], warm_flags),
+                jax.tree_util.tree_map(lambda a: a[n_cap:], warm_flags),
+            )
+            state, ws_c = jax.lax.scan(_warm_step(_spec_capped), state, fl_cap)
+            if n_cap < n_adapts:
+                if warmup_eps_research:
+                    state = _eps_reanchor(state)
+                state, ws_f = jax.lax.scan(_warm_step(spec), state, fl_full)
+                warmup_stats = (
+                    {k: jnp.concatenate(
+                        [ws_c[k].astype(ws_f[k].dtype), ws_f[k]], axis=0)
+                     for k in ws_f}
+                    if collect_warmup_stats else None
+                )
+            else:
+                warmup_stats = ws_c if collect_warmup_stats else None
+        else:
+            warm_step = _warm_step(spec)
+            state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
         state, thetas, stats, om_final = run_draws(state)
     elif use_fused:
         if n_adapts > 0:

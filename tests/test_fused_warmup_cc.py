@@ -75,3 +75,62 @@ def test_fused_cc_nutpie_falls_back():
     out = _run(True, n=120, warm=64,
                adaptor=AdaptorConfig(kind="stan", mm_kind="nutpie"))
     assert out.thetas.shape[0] == 120
+
+
+def test_warmup_depth_cap_fused_cc():
+    # Fast warmup: depth-capped early phase + eps re-anchor at the switch
+    # (library form of the bench study, PERF.md "Warmup anatomy").
+    out = _run(True, fuse_warmup_block=8, drop_warmup=True,
+               warmup_depth_cap=2, warmup_cap_frac=0.75,
+               warmup_eps_research=True)
+    wd = np.asarray(out.warmup_stats["tree_depth"])  # (warm, C)
+    n_cap = 192 * 3 // 4
+    assert wd[:n_cap].max() <= 2, wd[:n_cap].max()
+    # full depth available again after the switch (trees may still be short,
+    # but the cap itself must be lifted by the end of warmup)
+    assert wd[n_cap:].max() <= 5
+    post = np.asarray(out.thetas).reshape(-1, DIM)
+    np.testing.assert_allclose(post.mean(0), np.zeros(DIM), atol=0.15)
+    np.testing.assert_allclose(post.std(0), np.ones(DIM), rtol=0.15)
+    eps_end = float(np.asarray(out.stats["step_size"])[-1, 0])
+    assert np.isfinite(eps_end) and eps_end > 0
+
+
+def test_warmup_depth_cap_scan():
+    out = _run(False, drop_warmup=True, warmup_depth_cap=2,
+               warmup_cap_frac=0.5)
+    wd = np.asarray(out.warmup_stats["tree_depth"])
+    assert wd[:96].max() <= 2
+    post = np.asarray(out.thetas).reshape(-1, DIM)
+    np.testing.assert_allclose(post.mean(0), np.zeros(DIM), atol=0.15)
+    np.testing.assert_allclose(post.std(0), np.ones(DIM), rtol=0.15)
+
+
+def test_warmup_eps_research_needs_full_depth_tail():
+    import pytest
+
+    with pytest.raises(ValueError, match="re-anchor"):
+        _run(False, drop_warmup=True, warmup_depth_cap=2,
+             warmup_cap_frac=1.0, warmup_eps_research=True)
+
+
+def test_warmup_depth_cap_unsupported_falls_back():
+    # per-chain adaptation (cross_chain=False) → cap unsupported, still runs
+    target = std_gaussian(DIM)
+    kernel = HMCKernel(
+        Trajectory(
+            Leapfrog(step_size=jnp.asarray(0.3, jnp.float64)),
+            GeneralisedNoUTurn(max_depth=5),
+            "multinomial",
+        )
+    )
+    theta0 = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), (8, DIM), jnp.float64
+    )
+    out = sample(
+        jax.random.PRNGKey(0), target, kernel,
+        make_metric("diagonal", DIM, dtype=jnp.float64), theta0,
+        n_samples=96, n_adapts=48, adaptor=AdaptorConfig(kind="stan"),
+        cross_chain=False, init_eps=0.3, warmup_depth_cap=2, verbose=False,
+    )
+    assert out.thetas.shape[0] == 96
