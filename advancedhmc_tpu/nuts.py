@@ -28,9 +28,10 @@ The recursion's O(log L) stack of subtree states becomes two fixed-size
 checkpoint stacks indexed by trailing-zero counts:
 
 * even-visit leaves store (θ, r, M⁻¹r, within-subtree momentum cumsum) at
-  slot tz(i) (slot max_depth-1 for i=0) — each slot provably survives until
-  its last reader;
-* odd-visit leaves store (r, M⁻¹r) at slot tz(i+1) — read back as the
+  slot tz(i)−1 (the top slot for i=0) — each slot provably survives until
+  its last reader. tz ≥ 1 for every even index, so the stacks hold only
+  max_depth−1 rows;
+* odd-visit leaves store (r, M⁻¹r) at slot tz(i+1)−1 — read back as the
   mid-boundary of strict sub-checks (spans of size ≥ 4).
 
 Velocities (M⁻¹r, the reference's ∂H∂r) are computed once per leaf and cached
@@ -133,7 +134,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     zeros_d = jnp.zeros((dim,), dtype)
     sdtype = (jnp.dtype(traj.stack_dtype)
               if getattr(traj, "stack_dtype", None) else dtype)
-    stack = jnp.zeros((max_depth, dim), sdtype)
+    # Slot 0 of a max_depth-sized stack is provably never used: even-leaf
+    # slots are tz(i) ≥ 1, odd-leaf slots are tz(i+1) ≥ 1, and i=0 maps to
+    # the top slot. Stacks therefore hold max_depth-1 rows with every slot
+    # index shifted down by one — the stacks are the dominant per-leaf HBM
+    # carry traffic, so the dropped row is a direct ~1/max_depth saving.
+    n_slots = max(1, max_depth - 1)
+    stack = jnp.zeros((n_slots, dim), sdtype)
     edtype = jnp.result_type(h0)
 
     def fresh_fields(z_init, h0_init, lu_init, m_inv=None):
@@ -197,9 +204,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         # scalar stacks for the expanded span dots (non-strict criteria):
         # generalised stores dot(r_a − cum_a, vel_a) at write time (sck_ad),
         # classic stores dot(θ_a, vel_a) (sck_tv)
-        sck_ad=(jnp.zeros((max_depth,), dtype)
+        sck_ad=(jnp.zeros((n_slots,), dtype)
                 if not (is_strict or is_classic) else jnp.zeros((), dtype)),
-        sck_tv=(jnp.zeros((max_depth,), dtype)
+        sck_tv=(jnp.zeros((n_slots,), dtype)
                 if is_classic else jnp.zeros((), dtype)),
         **fresh_fields(z0, h0, lu),
     )
@@ -315,12 +322,12 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         active_s = jnp.logical_not(i_even) & (ks <= t_ones) & (a_s >= 0)
         a_safe = jnp.maximum(a_s, 0)
         tz_a = trailing_zeros(jnp.maximum(a_safe, 1))
-        slot_a = jnp.where(a_safe == 0, max_depth - 1,
-                           jnp.minimum(tz_a, max_depth - 1))     # (K,)
+        slot_a = jnp.where(a_safe == 0, n_slots - 1,
+                           jnp.minimum(tz_a - 1, n_slots - 1))   # (K,)
         # One-hot picks instead of jnp.take: per-chain dynamic gathers lower
         # to serialized scatters/gathers under vmap on TPU; one-hot matmuls
         # are fully parallel.
-        sel_b = slot_a[:, None] == jnp.arange(max_depth)[None, :]  # (K, S)
+        sel_b = slot_a[:, None] == jnp.arange(n_slots)[None, :]   # (K, S)
         sel_a = sel_b.astype(dtype)
         if not is_strict:
             # Per-slot scalars via ONE fused stack matmul: all stacks are
@@ -342,8 +349,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     "kd,sd->ks", rhs, lhs,
                     precision=getattr(traj, 'uturn_precision', None),
                 ).astype(dtype)                 # (2, 2S)
-                th_dot_va = prod[0, :max_depth]
-                thck_dot_vnew = prod[1, max_depth:]
+                th_dot_va = prod[0, :n_slots]
+                thck_dot_vnew = prod[1, n_slots:]
                 dA_slots = vsign * (th_dot_va - sck_tv)
                 dB_slots = vsign * (
                     jnp.dot(z_new.theta, vel_new) - thck_dot_vnew
@@ -372,8 +379,8 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     "kd,sd->ks", rhs, lhs,
                     precision=getattr(traj, 'uturn_precision', None),
                 ).astype(dtype)                 # (2, 2S)
-                uA = prod[0, :max_depth] + sck_ad
-                uB = prod[1, max_depth:]
+                uA = prod[0, :n_slots] + sck_ad
+                uB = prod[1, n_slots:]
                 srv = jnp.dot(s_rho, vel_new)
                 turn_slot = (uA <= 0) | (uB <= -srv)             # (S,)
                 turn_k = jnp.any(sel_b & turn_slot[None, :], axis=-1)
@@ -387,17 +394,22 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                 rho_span @ vel_new <= 0
             )
         if is_strict:
-            # mid = a + 2^{k-1} - 1 (odd); mid+1 even — both live at slot k-1,
-            # i.e. the contiguous prefix rows [0:K) of the stacks.
-            r_m1 = ck_r[: max_depth - 1]
-            cum_m1 = ck_cum[: max_depth - 1]
-            r_m = ck_odd_r[: max_depth - 1]
+            # mid = a + 2^{k-1} - 1 (odd); mid+1 even — both live at
+            # (shifted) slot k-2, so span k = ks[j] (k = j+1) reads row
+            # j-1; row 0 is duplicated as the k=1 dummy (masked below by
+            # `ks >= 2`). Static indices → slices/concat, not gathers.
+            import numpy as _np
+
+            _mid_rows = _np.maximum(_np.arange(max_depth - 1) - 1, 0)
+            r_m1 = ck_r[_mid_rows]
+            cum_m1 = ck_cum[_mid_rows]
+            r_m = ck_odd_r[_mid_rows]
             if cheap_vel:
                 vel_m1 = jax.vmap(h_loc.velocity)(r_m1)
                 vel_m = jax.vmap(h_loc.velocity)(r_m)
             else:
-                vel_m1 = ck_vel[: max_depth - 1]
-                vel_m = ck_odd_vel[: max_depth - 1]
+                vel_m1 = ck_vel[_mid_rows]
+                vel_m = ck_odd_vel[_mid_rows]
             rho_h1 = (cum_m1 - r_m1) - cum_a + r_a               # visits a..mid
             rho_h2 = s_rho[None, :] - cum_m1 + r_m1              # visits mid+1..i
             dot = lambda x, y: jnp.einsum("kd,kd->k", x, y)
@@ -419,13 +431,15 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         s_turning = s_turning | jnp.any(active_s & turn_k)
         s_diverged = s_diverged | diverging
 
-        # --- store checkpoints ---
+        # --- store checkpoints (slot indices shifted down by one; slot 0 of
+        # the unshifted numbering is never used — see n_slots above) ---
         tz_i = trailing_zeros(jnp.maximum(i, 1))
-        slot_even = jnp.where(i == 0, max_depth - 1, jnp.minimum(tz_i, max_depth - 1))
-        slot_odd = jnp.minimum(trailing_zeros(i + 1), max_depth - 1)
+        slot_even = jnp.where(i == 0, n_slots - 1,
+                              jnp.minimum(tz_i - 1, n_slots - 1))
+        slot_odd = jnp.minimum(trailing_zeros(i + 1) - 1, n_slots - 1)
 
         # One-hot masked writes (vectorized; avoids per-chain scatters).
-        slots = jnp.arange(max_depth)
+        slots = jnp.arange(n_slots)
         mask_even = ((slots == slot_even) & i_even)[:, None]          # (S, 1)
         mask_odd = ((slots == slot_odd) & jnp.logical_not(i_even))[:, None]
 
