@@ -187,10 +187,13 @@ def main():
 
     stage = int(os.environ.get("AHMC_BENCH_STAGE", 0))
 
+    out_dtype = os.environ.get("AHMC_BENCH_OUT_DTYPE") or None
+
     @jax.jit
     def run_chunk_fused(state):
         new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
                                                  unroll=unroll,
+                                                 out_dtype=out_dtype,
                                                  stage_slots=stage)
         return new_st, (thetas, stats["n_steps"],
                         jnp.sum(stats["numerical_error"]),
