@@ -78,6 +78,70 @@ def effective_sample_size(x):
     return n * m / tau
 
 
+def effective_sample_size_ragged(x, counts):
+    """Per-chain bulk ESS summed over chains, for RAGGED draw sets.
+
+    `x`: (n_chains, T, dim) where chain c's draws occupy rows [0, counts[c]);
+    `counts`: (n_chains,) int. Returns (dim,): the SUM over chains of each
+    chain's Geyer-initial-monotone ESS computed on its own valid prefix.
+
+    This is the estimator for the variable-draws-per-chain fused collection
+    (chains collect different numbers of transitions per device dispatch, so
+    no rectangular (T, C) array exists). On rectangular input
+    (counts[c] = T ∀c) it is the per-chain-sum variant of
+    `effective_sample_size` — same autocovariances, but no cross-chain
+    pooling of the correlograms and no between-chain variance term, so each
+    chain's τ is noisier while the sum over many chains is tight.
+    """
+    x = jnp.asarray(x)
+    n_chains, t_max, dim = x.shape
+    counts = jnp.asarray(counts)
+    cntf = counts.astype(x.dtype)
+    mask = jnp.arange(t_max)[None, :] < counts[:, None]            # (C, T)
+    maskf = mask.astype(x.dtype)[..., None]                        # (C, T, 1)
+    mean_c = jnp.sum(x * maskf, axis=1, keepdims=True) / jnp.maximum(
+        cntf[:, None, None], 1.0
+    )
+    xc = (x - mean_c) * maskf
+    nfft = 1
+    while nfft < 2 * t_max:
+        nfft *= 2
+    f = jnp.fft.rfft(xc, n=nfft, axis=1)
+    acov = jnp.real(
+        jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :t_max]
+    ) / jnp.maximum(cntf[:, None, None], 1.0)                      # (C, T, d)
+    var_c = acov[:, 0]                                             # (C, d)
+    rho = acov / jnp.maximum(var_c[:, None, :], jnp.finfo(x.dtype).tiny)
+
+    # Geyer pairs per chain; lags at/after a chain's count are exact zeros
+    # (zero-padded xc), so the monotone scan stops there at the latest.
+    n_pairs = (t_max - 1) // 2
+    even = rho[:, 1 : 1 + 2 * n_pairs : 2]
+    odd = rho[:, 2 : 2 + 2 * n_pairs : 2]
+    pair = even + odd[:, : even.shape[1]]                          # (C, P, d)
+
+    def scan_fn(carry, p):
+        prev_min, alive = carry
+        p = jnp.minimum(p, prev_min)
+        alive = alive & (p > 0)
+        contrib = jnp.where(alive, p, 0.0)
+        return (jnp.where(alive, p, prev_min), alive), contrib
+
+    (_, _), contribs = jax.lax.scan(
+        scan_fn,
+        (jnp.full((n_chains, dim), jnp.inf, pair.dtype),
+         jnp.ones((n_chains, dim), bool)),
+        jnp.moveaxis(pair, 1, 0),
+    )
+    tau = -1.0 + 2.0 * (rho[:, 0] + 2.0 * jnp.sum(contribs, axis=0))
+    tau = jnp.maximum(
+        tau, 1.0 / jnp.log10(jnp.maximum(cntf[:, None], 10.0))
+    )
+    ess_c = cntf[:, None] / tau                                    # (C, d)
+    ess_c = jnp.where((var_c > 0) & (counts[:, None] > 1), ess_c, 0.0)
+    return jnp.sum(ess_c, axis=0)
+
+
 def _rank_normalize(x):
     """Rank-normalize draws over the pooled (sample, chain) axes:
     z = Φ⁻¹((rank − 3/8)/(S + 1/4)) (Vehtari et al. 2021, Eq. 14)."""

@@ -98,9 +98,13 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     # Unit/diag metrics recompute M⁻¹r from checkpointed r at check time
     # instead of carrying velocity stacks (cuts hot-loop carry traffic ~1/3).
     cheap_vel = isinstance(h.metric, (UnitEuclideanMetric, DiagEuclideanMetric))
+    dense_in_state = False
     if _adaptive_metric:
-        assert isinstance(h.metric, DiagEuclideanMetric), (
-            "in-loop metric adaptation supports the diagonal metric"
+        from .metrics import DenseEuclideanMetric as _DenseEM
+
+        dense_in_state = isinstance(h.metric, _DenseEM)
+        assert isinstance(h.metric, DiagEuclideanMetric) or dense_in_state, (
+            "metric-in-state supports the diagonal and dense metrics"
         )
 
     slim = _slim_candidates
@@ -153,8 +157,12 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             # time (one elementwise multiply) instead of carried — cuts three
             # D-vectors of per-leaf carry traffic.
             v_init = jnp.zeros((), dtype)
+        elif m_inv is None:
+            v_init = h.velocity_z(z_init)
+        elif jnp.ndim(m_inv) == 2:
+            v_init = m_inv @ z_init.r
         else:
-            v_init = h.velocity_z(z_init) if m_inv is None else z_init.r * m_inv
+            v_init = z_init.r * m_inv
         return dict(
             h0=h0_init,
             lu=lu_init,
@@ -191,6 +199,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         key=key,
         eps=eps * jnp.ones((), dtype),
         m_inv=(h.metric.m_inv if _adaptive_metric else jnp.zeros((), dtype)),
+        # dense metric-in-state also carries the (frozen) Cholesky factor —
+        # never updated in the loop, read only for boundary momentum draws
+        chol_u=(h.metric.chol_u if dense_in_state else jnp.zeros((), dtype)),
         # --- checkpoint stacks (unused ones collapse to scalars) ---
         ck_theta=stack if is_classic else jnp.zeros((), dtype),
         ck_r=stack,
@@ -224,7 +235,12 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         eps = st["eps"]
         h0 = st["h0"]
         lu = st["lu"]
-        if _adaptive_metric:
+        if dense_in_state:
+            from .metrics import DenseEuclideanMetric as _DnEM
+
+            h_loc = h.replace(metric=_DnEM(m_inv=st["m_inv"],
+                                           chol_u=st["chol_u"]))
+        elif _adaptive_metric:
             from .metrics import DiagEuclideanMetric as _DEM
 
             h_loc = h.replace(metric=_DEM(m_inv=st["m_inv"],
@@ -553,6 +569,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
             key=key,
             eps=st["eps"],
             m_inv=st["m_inv"],
+            chol_u=st["chol_u"],
             h0=st["h0"],
             lu=st["lu"],
             t_zleft=_where_z(complete, c_zleft, st["t_zleft"]),
@@ -629,7 +646,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            adapt_flags=None, unroll: int = 1,
                            out_dtype=None, batched: bool = False,
                            metric_batch=None, eps_batch=None,
-                           stage_slots: int = 0):
+                           stage_slots: int = 0, t_min=None):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -656,8 +673,10 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
     Batch-explicit mode (`batched=True`): `key` is a (C,) batch of per-chain
     keys, `z0`/`adapt_state` have a leading chain axis, and `h`'s leaves are
-    UNBATCHED (shared metric — the cross-chain configuration) or diagonal
-    with the per-chain M⁻¹ carried in the loop state (warmup mode). ONE
+    UNBATCHED (shared metric — the cross-chain configuration) or the
+    per-chain metric is carried in the loop state: diagonal M⁻¹ (adaptive or
+    frozen) or frozen dense M⁻¹ + its Cholesky factor (draw phase; beyond
+    the reference, whose dense metric is single-chain only, metric.jl:103). ONE
     `lax.while_loop` then runs over the batched state with `vmap(body)` and
     a `jnp.any` condition instead of vmapping the whole loop. This removes
     the automatic done-guard select that vmapped `while_loop` inserts on
@@ -667,6 +686,23 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     finished chains' state drifts harmlessly (every field read after a
     chain finishes — zcand, the out buffers, `ad` — is gated by the chain's
     not-done predicate). Returns batched outputs (C, n_transitions, ...).
+
+    Variable-draws-per-chain mode (`t_min` = M < n_transitions, batched,
+    full refreshment, draw phase only): the loop runs until EVERY chain has
+    completed at least M transitions; chains that finish early KEEP
+    sampling (up to the `n_transitions` buffer capacity) instead of idling.
+    The per-dispatch wall is still set by the slowest chain reaching M —
+    identical to a rectangular M-transition dispatch — but the
+    previously-wasted fast-chain lanes now produce extra draws, so the
+    collected-draws/wall ratio rises by the rectangular loop's idle-lane
+    factor (PERF.md "lane utilisation"). Returns
+    (z_final, thetas (C, n_transitions, dim), stats, counts (C,)) where
+    chain c's draws occupy rows [0, counts[c]) and
+    M ≤ counts[c] ≤ n_transitions. The chain's resume state is its LAST
+    COMPLETED transition's draw (partial trees in flight at loop exit are
+    discarded — a progressive-sampling candidate is only a valid draw at a
+    completed transition boundary). Use
+    diagnostics.effective_sample_size_ragged for ESS on the ragged result.
 
     Segmented collection (`stage_slots` = NS > 0, batched mode): the
     (C, n_transitions, dim) output buffers are the hottest carry traffic of
@@ -698,8 +734,18 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     slim = isinstance(refreshment, FullMomentumRefreshment)
 
     # Per-chain metrics in batched mode ride the m_inv-in-state machinery
-    # (diagonal only), whether or not the metric is being adapted.
+    # (diagonal, or dense when frozen), whether or not the metric is being
+    # adapted.
     metric_in_state = adaptive_metric or (batched and metric_batch is not None)
+    from .metrics import DenseEuclideanMetric as _DenseMetric
+
+    dense_in_state = metric_in_state and isinstance(
+        metric_batch if metric_batch is not None else h.metric, _DenseMetric
+    )
+    assert not (adaptive_metric and dense_in_state), (
+        "in-loop metric adaptation supports the diagonal metric only; "
+        "dense metrics ride the fused loop frozen (draw phase)"
+    )
 
     def _core_state(k, z0_c, metric_c=None):
         h_c = h if metric_c is None else h.replace(metric=metric_c)
@@ -750,6 +796,22 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     )
     use_staged = bool(batched and unroll == 1 and stage_slots
                       and 0 < stage_slots < t_count)
+    ragged = t_min is not None and int(t_min) < t_count
+    if t_min is not None:
+        assert batched and unroll == 1 and not use_staged, (
+            "variable-draws mode requires the batch-explicit single-loop "
+            "layout (batched=True, unroll=1, stage_slots=0)"
+        )
+        assert not adaptive, (
+            "variable-draws mode is draw-phase only (adaptation is a "
+            "per-transition-index schedule; ragged counts would desync it)"
+        )
+        assert slim, (
+            "variable-draws mode requires full momentum refreshment (the "
+            "resume state is rebuilt from the last completed transition's "
+            "slim candidate)"
+        )
+        assert 1 <= int(t_min) <= t_count
 
     fused_fields = dict(
         t=jnp.asarray(0, jnp.int32),
@@ -778,6 +840,13 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     if eps_batch is not None:
         # per-chain NOMINAL step size (jitter base at transition boundaries)
         fstate["eps_nom"] = jnp.asarray(eps_batch, dtype)
+    if ragged:
+        # snapshot of the last COMPLETED transition's candidate — the chain's
+        # resume point (partial trees at loop exit are discarded). Init from
+        # the refreshed start point (t_min ≥ 1 guarantees one overwrite).
+        zc0 = state["zcand"]
+        fstate.update(zl_theta=zc0["theta"], zl_ld=zc0["ld"],
+                      zl_grad=zc0["grad"], zl_h=zc0["h"])
     inner_keys = [k for k in state.keys()]
     body_keys = [k for k in inner_keys if k != "ad"]
     if adaptive:
@@ -837,6 +906,11 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                 zc_theta.astype(st["out_theta"].dtype)[None, :],
                 st["out_theta"],
             )
+        if ragged:
+            out["zl_theta"] = jnp.where(boundary, zc_theta, st["zl_theta"])
+            out["zl_ld"] = jnp.where(boundary, zc_ld, st["zl_ld"])
+            out["zl_grad"] = jnp.where(boundary, zc_grad, st["zl_grad"])
+            out["zl_h"] = jnp.where(boundary, energy, st["zl_h"])
 
         t_new = jnp.where(boundary, t + 1, t)
         all_done = t_new >= t_count
@@ -863,7 +937,12 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         # --- prepare the next transition (masked) ---
         key2, k_ref, k_slice, k_jit = jax.random.split(st2["key"], 4)
-        if adaptive_metric or metric_in_state:
+        if metric_in_state and dense_in_state:
+            from .metrics import DenseEuclideanMetric as _DnEM
+
+            h_b = h.replace(metric=_DnEM(m_inv=st2["m_inv"],
+                                         chol_u=st2["chol_u"]))
+        elif adaptive_metric or metric_in_state:
             from .metrics import DiagEuclideanMetric as _DEM
 
             mi = m_inv_next if adaptive_metric else st2["m_inv"]
@@ -890,7 +969,9 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         eps_next = integ_b.jitter(k_jit).current_step_size
 
         fresh = fresh_fields(z_next, h0n, lun,
-                             m_inv=m_inv_next if adaptive_metric else None)
+                             m_inv=(m_inv_next if adaptive_metric
+                                    else st2["m_inv"] if dense_in_state
+                                    else None))
         reset = boundary & jnp.logical_not(all_done)
         merged = {}
         for k in inner_keys:
@@ -977,6 +1058,14 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             outer_body,
             fstate,
         )
+    elif batched and ragged:
+        # run until the SLOWEST chain has t_min transitions; faster chains
+        # keep collecting (capacity-frozen at t_count via all_done/act)
+        final = jax.lax.while_loop(
+            lambda st: jnp.any(st["t"] < t_min),
+            jax.vmap(fbody),
+            fstate,
+        )
     elif batched:
         final = jax.lax.while_loop(
             lambda st: jnp.any(jnp.logical_not(st["all_done"])),
@@ -1000,18 +1089,26 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         "nom_step_size": jnp.broadcast_to(integ.nom_step_size,
                                           final["out_eps"].shape),
     }
+    if ragged:
+        # resume from the last COMPLETED transition's candidate, not the
+        # (possibly mid-tree) zcand
+        zf = dict(theta=final["zl_theta"], ld=final["zl_ld"],
+                  grad=final["zl_grad"], h=final["zl_h"])
+    elif slim:
+        zf = final["zcand"]
     if slim:
         # Reconstruct a full PhasePoint for the caller's state. The momentum
         # is zeroed (it is statistically meaningless post-transition and is
         # resampled before any further use); neg_k is set so energy() still
         # reproduces the candidate's true energy.
-        zf = final["zcand"]
         z_final = PhasePoint(theta=zf["theta"], r=jnp.zeros_like(zf["theta"]),
                              logdensity=zf["ld"], grad=zf["grad"],
                              neg_k=-zf["h"] - zf["ld"])
     else:
         z_final = final["zcand"]
     out_thetas = final["out_theta"].astype(dtype)
+    if ragged:
+        return z_final, out_thetas, stats, final["t"]
     if adaptive:
         return z_final, out_thetas, stats, final["ad"]
     return z_final, out_thetas, stats

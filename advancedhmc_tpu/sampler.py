@@ -157,12 +157,14 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     # Batch-explicit fused loop: one while_loop over the batched state
     # instead of vmapping the loop, which removes the per-carry done-guard
     # selects (PERF.md). Shared metric/eps (cross-chain) closes over the
-    # metric; per-chain diag/unit metrics thread M⁻¹/ϵ through the state.
+    # metric; per-chain diag/unit/dense metrics thread M⁻¹ (+ the dense
+    # Cholesky factor) / ϵ through the state.
+    from .metrics import DenseEuclideanMetric as _Dense
     from .metrics import DiagEuclideanMetric as _Diag
     from .metrics import UnitEuclideanMetric as _Unit
 
     use_batched = unroll == 1 and (
-        not per_chain or isinstance(state.metric, (_Diag, _Unit))
+        not per_chain or isinstance(state.metric, (_Diag, _Unit, _Dense))
     )
 
     def outer(carry, _):
@@ -175,7 +177,7 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
             )
         elif use_batched:
             eps_c = st.adapt.da.eps          # (C,)
-            if isinstance(st.metric, _Diag):
+            if isinstance(st.metric, (_Diag, _Dense)):
                 metric_t = jax.tree_util.tree_map(lambda x: x[0], st.metric)
                 metric_b = st.metric
             else:                            # unit: no array leaves
@@ -230,6 +232,78 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     thetas = thetas.reshape((n_kept,) + thetas.shape[2:])
     stats = {k: v.reshape((n_kept,) + v.shape[2:]) for k, v in stats.items()}
     return state, thetas, stats
+
+
+def fused_draw_phase_ragged(spec: SampleSpec, state: HMCState, t_max: int,
+                            t_min: int, out_dtype=None):
+    """ONE variable-draws-per-chain fused dispatch (draw phase only).
+
+    Every chain completes at least `t_min` transitions; chains that finish
+    early KEEP sampling — up to the `t_max` buffer capacity — instead of
+    idling until the slowest chain catches up. The dispatch wall is the same
+    as a rectangular `t_min`-transition block (set by the slowest chain),
+    but the idle-lane time of the rectangular layout becomes extra draws,
+    so collected-draws/second rises by the idle factor (the remaining draw-
+    phase utilisation headroom measured in PERF.md). Beyond the reference
+    (its matrix mode is static-trajectory, synchronous per step).
+
+    Returns (new_state, thetas (C, t_max, dim), counts (C,), stats) — chain
+    c's draws are rows [0, counts[c]); stats leaves are (C, t_max) zero-
+    filled past the count. Pooled statistics MUST weight by `counts` (draw
+    counts correlate with the chain's local tree size, so equal-weight
+    pooling over the raw buffer would bias toward small-tree regions);
+    `diagnostics.effective_sample_size_ragged` is the matching ESS
+    estimator. `new_state.iteration` advances by `t_min` (the guaranteed
+    common count).
+    """
+    from .hamiltonian import FullMomentumRefreshment
+    from .metrics import DenseEuclideanMetric as _Dense
+    from .metrics import DiagEuclideanMetric as _Diag
+    from .metrics import UnitEuclideanMetric as _Unit
+
+    per_chain = not spec.cross_chain
+    if not (1 <= t_min < t_max):
+        raise ValueError("need 1 <= t_min < t_max")
+    if not isinstance(spec.kernel.refreshment, FullMomentumRefreshment):
+        raise ValueError("variable-draws collection requires full momentum "
+                         "refreshment")
+    if not isinstance(spec.kernel.trajectory.criterion,
+                      DynamicTerminationCriterion):
+        raise ValueError("variable-draws collection requires a dynamic "
+                         "(NUTS) termination criterion")
+    if per_chain and not isinstance(state.metric, (_Diag, _Unit, _Dense)):
+        raise ValueError("per-chain variable-draws collection supports "
+                         "unit/diag/dense metrics (batch-explicit loop)")
+    if spec.coupled:
+        raise ValueError("variable-draws collection is incompatible with "
+                         "coupled chains (chains desync by construction)")
+
+    n_chains = state.z.theta.shape[0]
+    key, k_step = jax.random.split(state.key)
+    keys = jax.random.split(k_step, n_chains)
+    if per_chain:
+        eps_c = state.adapt.da.eps                        # (C,)
+        if isinstance(state.metric, (_Diag, _Dense)):
+            metric_t = jax.tree_util.tree_map(lambda x: x[0], state.metric)
+            metric_b = state.metric
+        else:
+            metric_t, metric_b = state.metric, None
+        eps_t, eps_b = eps_c[0], eps_c
+    else:
+        metric_t, metric_b = state.metric, None
+        eps_t, eps_b = state.adapt.da.eps, None
+    h = Hamiltonian(metric=metric_t, target=spec.target, kinetic=spec.kinetic)
+    integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps_t)
+    traj = spec.kernel.trajectory.replace(integrator=integ)
+    z_last, ths, stats, counts = nuts_transitions_fused(
+        keys, h, traj, state.z, t_max, spec.kernel.refreshment,
+        out_dtype=out_dtype, batched=True, metric_batch=metric_b,
+        eps_batch=eps_b, t_min=t_min,
+    )
+    stats["is_adapt"] = jnp.zeros_like(stats["numerical_error"])
+    new_st = state.replace(iteration=state.iteration + t_min, z=z_last,
+                           key=key)
+    return new_st, ths, counts, stats
 
 
 def _thin_block(ths, stats, thin: int):

@@ -189,6 +189,15 @@ def main():
 
     out_dtype = os.environ.get("AHMC_BENCH_OUT_DTYPE") or None
 
+    # Variable-draws-per-chain collection (AHMC_BENCH_RAGGED = buffer-capacity
+    # factor > 1, e.g. 1.5): every chain completes ≥ `chunk` transitions per
+    # dispatch and fast chains keep sampling up to chunk·factor instead of
+    # idling — the dispatch wall is unchanged (slowest chain to `chunk`), the
+    # extra draws are free ESS. Uses the count-weighted ragged estimators.
+    ragged = float(os.environ.get("AHMC_BENCH_RAGGED", 0) or 0)
+    use_ragged = ragged > 1.0
+    t_max_r = int(round(chunk * ragged))
+
     @jax.jit
     def run_chunk_fused(state):
         new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
@@ -198,6 +207,19 @@ def main():
         return new_st, (thetas, stats["n_steps"],
                         jnp.sum(stats["numerical_error"]),
                         jnp.mean(stats["acceptance_rate"]))
+
+    from advancedhmc_tpu.sampler import fused_draw_phase_ragged
+
+    @jax.jit
+    def run_chunk_ragged(state):
+        new_st, thetas, counts, stats = fused_draw_phase_ragged(
+            spec, state, t_max_r, chunk, out_dtype=out_dtype
+        )
+        valid = jnp.arange(t_max_r)[None, :] < counts[:, None]
+        return new_st, (thetas, counts, stats["n_steps"],
+                        jnp.sum(stats["numerical_error"]),
+                        jnp.sum(stats["acceptance_rate"] * valid),
+                        jnp.sum(valid))
 
     # --- warmup (chunked, untimed beyond wall) ---
     use_fw = fuse_warmup > 1 and n_warmup % fuse_warmup == 0
@@ -231,6 +253,11 @@ def main():
             return st, jnp.sum(wstats["n_steps"])
 
     fw_switch = int(os.environ.get("AHMC_BENCH_FW_SWITCH", n_warmup // 2))
+    # 3-phase schedule (NEXT.md #3): keep the depth cap PAST the eps
+    # re-anchor so the DA descent's deep-tree episodes are bounded too;
+    # full depth only for the last (n_warmup - FW_SWITCH2) iterations.
+    # 0 = off (2-phase: cap ends at FW_SWITCH).
+    fw_switch2 = int(os.environ.get("AHMC_BENCH_FW_SWITCH2", 0))
     # At the capped→full-depth switch, re-run the Stan init step-size search
     # on the CURRENT (window-adapted) metric and re-anchor dual averaging at
     # the result — the capped-tree DA equilibrium is far from the full-depth
@@ -261,9 +288,10 @@ def main():
             k_eps2 = jax.random.fold_in(state.key, 7)
             return find_good_stepsize(k_eps2, h_now, state.z.theta[0])
 
+        cap_end = fw_switch2 if fw_switch2 > fw_switch else fw_switch
         pos = 0
         while pos < n_warmup:
-            early = bool(early_depth) and pos < fw_switch
+            early = bool(early_depth) and pos < cap_end
             if (eps_research and early_depth and pos == fw_switch
                     and pos > 0):
                 eps_new = research_eps(state) * eps_rescale
@@ -276,8 +304,10 @@ def main():
                      else fuse_warmup)
             wchunk = block * max(1, chunk // block)
             size = min(wchunk, n_warmup - pos)
-            if early:
-                size = min(size, fw_switch - pos)
+            # stop at every phase boundary (re-anchor point, cap end)
+            for boundary in (fw_switch, cap_end):
+                if pos < boundary:
+                    size = min(size, boundary - pos)
             size -= size % block
             state, wlf = run_warm_chunk(state, chunk_flags(pos, size), block,
                                         early)
@@ -304,7 +334,10 @@ def main():
     # executions over the tunnel pay program-load/data-upload costs (measured
     # 1.9x on the whole timed window with a cold cache); the result is
     # discarded so the timed loop still starts from `state`.
-    if fuse > 1:
+    if use_ragged:
+        run_chunk_ragged.lower(state).compile()
+        jax.block_until_ready(run_chunk_ragged(state))
+    elif fuse > 1:
         run_chunk_fused.lower(state).compile()
         jax.block_until_ready(run_chunk_fused(state))
     else:
@@ -315,9 +348,17 @@ def main():
     steps_chunks = []
     div_chunks = []
     acc_chunks = []
+    counts_chunks = []
+    nvalid_chunks = []
     t0 = time.time()
     for start in range(n_warmup, n_warmup + n_draws, chunk):
-        if fuse > 1:
+        if use_ragged:
+            state, (th, cnt, ns, ndiv, accs, nv) = run_chunk_ragged(state)
+            counts_chunks.append(cnt)
+            div_chunks.append(ndiv)
+            acc_chunks.append(accs)
+            nvalid_chunks.append(nv)
+        elif fuse > 1:
             state, (th, ns, ndiv, acc) = run_chunk_fused(state)
             div_chunks.append(ndiv)
             acc_chunks.append(acc)
@@ -328,21 +369,82 @@ def main():
     jax.block_until_ready(thetas_chunks[-1])
     t_draw = time.time() - t0
 
-    thetas_np = np.concatenate([np.asarray(t) for t in thetas_chunks], axis=0)
     total_leapfrogs = float(sum(np.asarray(s, np.float64).sum()
                                 for s in steps_chunks))
-    n_transitions_total = n_draws * n_chains
-    div_rate = (float(sum(float(np.asarray(d)) for d in div_chunks))
-                / n_transitions_total if div_chunks else float("nan"))
-    accept_mean = (float(np.mean([float(np.asarray(a)) for a in acc_chunks]))
-                   if acc_chunks else float("nan"))
-
-    # Bulk ESS pooled over chains (subsample chains to bound host FFT cost)
-    from advancedhmc_tpu.diagnostics import effective_sample_size as ess_fn
-
     max_ess_chains = min(n_chains, 512)
-    ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
-    ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
+    extras = {}
+    if use_ragged:
+        from advancedhmc_tpu.diagnostics import effective_sample_size_ragged
+
+        cnts = [np.asarray(c, np.int64) for c in counts_chunks]
+        total_c = np.sum(np.stack(cnts), axis=0)            # (C,)
+        n_transitions_total = int(total_c.sum())
+        div_rate = (sum(float(np.asarray(d)) for d in div_chunks)
+                    / n_transitions_total)
+        accept_mean = (sum(float(np.asarray(a)) for a in acc_chunks)
+                       / sum(float(np.asarray(v)) for v in nvalid_chunks))
+        # count-weighted moments over ALL chains (equal-weight pooling over
+        # the raw buffers would bias toward small-tree regions)
+        s_ls = s_ls2 = 0.0
+        beta_sum = np.zeros(dim - 1, np.float64)
+        sub = max_ess_chains
+        x_sub = np.zeros((sub, int(total_c[:sub].max()), dim), np.float32)
+        off = np.zeros(sub, np.int64)
+        for th, cnt in zip(thetas_chunks, cnts):
+            th = np.asarray(th)
+            tk = th.shape[1]
+            valid = np.arange(tk)[None, :] < cnt[:, None]    # (C, tk)
+            s_ls += float((th[:, :, 0] * valid).sum(dtype=np.float64))
+            s_ls2 += float((th[:, :, 0] ** 2 * valid).sum(dtype=np.float64))
+            beta_sum += (th[:, :, 1:] * valid[..., None]).sum(
+                (0, 1), dtype=np.float64
+            )
+            rows, cols_l = np.nonzero(valid[:sub])
+            x_sub[rows, off[rows] + cols_l] = th[:sub][rows, cols_l]
+            off += cnt[:sub]
+        mean_ls = s_ls / n_transitions_total
+        sd_ls = float(np.sqrt(s_ls2 / n_transitions_total - mean_ls**2))
+        mean_beta_norm = float(np.linalg.norm(beta_sum / n_transitions_total))
+        ess = np.asarray(effective_sample_size_ragged(
+            jnp.asarray(x_sub), jnp.asarray(off)))
+        ess_total = float(np.median(ess)) * (n_chains / sub)
+        extras = {
+            "ragged_factor": ragged,
+            "draws_per_chain_mean": round(float(total_c.mean()), 2),
+            "draws_per_chain_min": int(total_c.min()),
+            "collected_vs_rect": round(n_transitions_total
+                                       / (n_draws * n_chains), 4),
+        }
+    else:
+        thetas_np = np.concatenate([np.asarray(t) for t in thetas_chunks],
+                                   axis=0)
+        n_transitions_total = n_draws * n_chains
+        div_rate = (sum(float(np.asarray(d)) for d in div_chunks)
+                    / n_transitions_total if div_chunks else float("nan"))
+        accept_mean = (float(np.mean([float(np.asarray(a))
+                                      for a in acc_chunks]))
+                       if acc_chunks else float("nan"))
+        mean_ls = float(thetas_np[:, :, 0].mean())
+        sd_ls = float(thetas_np[:, :, 0].std())
+        mean_beta_norm = float(np.linalg.norm(
+            thetas_np[:, :, 1:].mean((0, 1))))
+
+        # Bulk ESS pooled over chains (chains subsampled to bound FFT cost)
+        from advancedhmc_tpu.diagnostics import (
+            effective_sample_size as ess_fn,
+            effective_sample_size_ragged,
+        )
+
+        ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
+        ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
+        # per-chain-sum estimator on the same draws: the apples-to-apples
+        # comparison number for ragged-mode runs (different pooling)
+        ess_pc = np.asarray(effective_sample_size_ragged(
+            jnp.asarray(np.swapaxes(thetas_np[:, :max_ess_chains, :], 0, 1)),
+            jnp.full((max_ess_chains,), thetas_np.shape[0]),
+        ))
+        extras = {"median_ess_perchain_est": round(
+            float(np.median(ess_pc)) * (n_chains / max_ess_chains), 1)}
     ess_per_s = ess_total / t_draw / n_devices
     lf_per_s = total_leapfrogs / t_draw / n_devices
 
@@ -361,15 +463,15 @@ def main():
         "min_pooled_ess": round(float(np.min(ess)), 1),
         "divergence_rate": round(div_rate, 6),
         "accept_mean": round(accept_mean, 4),
-        "mean_logsigma": round(float(thetas_np[:, :, 0].mean()), 5),
-        "sd_logsigma": round(float(thetas_np[:, :, 0].std()), 5),
-        "mean_beta_norm": round(float(np.linalg.norm(
-            thetas_np[:, :, 1:].mean((0, 1)))), 5),
+        "mean_logsigma": round(mean_ls, 5),
+        "sd_logsigma": round(sd_ls, 5),
+        "mean_beta_norm": round(mean_beta_norm, 5),
         "init_step_size": round(eps0, 5),
         "fuse": fuse,
         "device": str(jax.devices()[0]),
         "n_devices": n_devices,
         "ess_per_s_total": round(ess_total / t_draw, 2),
+        **extras,
     }
     print(json.dumps(result))
 

@@ -454,10 +454,12 @@ def test_gradient_mass_matrix_init():
     assert float(np.asarray(res.stats["tree_depth"]).mean()) < 4.0
 
 
-def test_fused_draws_dense_metric_fallback():
-    """Per-chain dense metric + fuse_draws takes the vmapped fused loop
-    (batch-explicit mode covers diag/unit only) and still samples
-    correctly."""
+def test_fused_draws_dense_metric_batched():
+    """Per-chain dense metric + fuse_draws takes the batch-explicit fused
+    loop (per-chain M⁻¹ and Cholesky factor carried in the loop state —
+    beyond the reference, whose dense metric is single-chain only,
+    /root/reference/src/metric.jl:103) and samples correctly. The adapted
+    per-chain dense metric from warmup flows into the fused draw phase."""
     kernel, metric_kind, adaptor, n_adapts = CASES["nuts_mult_dense_stan"]
     metric = make_metric("dense", D, dtype=jnp.float64)
     res = sample(
@@ -465,9 +467,41 @@ def test_fused_draws_dense_metric_fallback():
         jnp.zeros(D, jnp.float64), 1000, n_adapts=500, adaptor=adaptor,
         init_eps=0.25, n_chains=4, fuse_draws=25,
     )
+    # per-chain adapted dense metric reached the final state intact
+    m_inv = np.asarray(res.final_state.metric.m_inv)
+    assert m_inv.shape == (4, D, D)
     draws = np.asarray(res.thetas[500:]).reshape(-1, D)
     assert np.linalg.norm(draws.mean(axis=0)) < RNDATOL
     np.testing.assert_allclose(draws.var(axis=0), np.ones(D), atol=0.35)
+
+
+def test_fused_draws_dense_metric_correlated_target():
+    """Batch-explicit dense fused draws on a CORRELATED Gaussian: the
+    per-chain dense M⁻¹ (set to the true covariance) must precondition the
+    sampler — near-unit effective scales, shallow trees — and reproduce the
+    target covariance."""
+    rho = 0.8
+    cov = np.full((D, D), rho) + (1 - rho) * np.eye(D)
+    prec = np.linalg.inv(cov)
+    target = LogDensityTarget(
+        lambda x: -0.5 * x @ jnp.asarray(prec, jnp.float64) @ x, D
+    )
+    kernel = HMCKernel(
+        Trajectory(_leapfrog(), GeneralisedNoUTurn(max_depth=6), "multinomial")
+    )
+    from advancedhmc_tpu.metrics import DenseEuclideanMetric
+
+    metric = DenseEuclideanMetric.create(jnp.asarray(cov, jnp.float64))
+    res = sample(
+        jax.random.PRNGKey(11), target, kernel, metric,
+        jnp.zeros(D, jnp.float64), 1200, adaptor=NO_ADAPT,
+        init_eps=0.9, n_chains=8, fuse_draws=40,
+    )
+    draws = np.asarray(res.thetas[200:]).reshape(-1, D)
+    emp_cov = np.cov(draws.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.35)
+    # preconditioned: trajectories stay short
+    assert float(np.asarray(res.stats["tree_depth"][200:]).mean()) < 4.0
 
 
 def test_segmented_collection_bit_identical():
