@@ -54,10 +54,12 @@ def effective_sample_size(x):
 
     rho = 1.0 - (mean_var[None] - jnp.mean(acov, axis=1)) / var_plus[None]  # (n, dim)
 
-    # Geyer: sum consecutive pairs while positive (monotone-decreasing capped)
-    n_pairs = (n - 1) // 2
-    even = rho[1 : 1 + 2 * n_pairs : 2]
-    odd = rho[2 : 2 + 2 * n_pairs : 2]
+    # Geyer initial monotone sequence: P_m = rho_{2m} + rho_{2m+1} starting
+    # at rho_0 (Geyer 1992; Stan/Vehtari et al. 2021), summed while positive
+    # with monotone decrease enforced; tau = -1 + 2*sum(P_m).
+    n_pairs = n // 2
+    even = rho[0 : 2 * n_pairs : 2]
+    odd = rho[1 : 2 * n_pairs : 2]
     pair = even + odd[: even.shape[0]]
 
     def scan_fn(carry, p):
@@ -73,7 +75,7 @@ def effective_sample_size(x):
          jnp.ones((pair.shape[-1],), bool)),
         pair,
     )
-    tau = -1.0 + 2.0 * (rho[0] + 2.0 * jnp.sum(contribs, axis=0))
+    tau = -1.0 + 2.0 * jnp.sum(contribs, axis=0)
     tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n * m))))
     return n * m / tau
 
@@ -113,11 +115,12 @@ def effective_sample_size_ragged(x, counts):
     var_c = acov[:, 0]                                             # (C, d)
     rho = acov / jnp.maximum(var_c[:, None, :], jnp.finfo(x.dtype).tiny)
 
-    # Geyer pairs per chain; lags at/after a chain's count are exact zeros
+    # Geyer pairs per chain, P_m = rho_{2m} + rho_{2m+1} from rho_0 (as in
+    # effective_sample_size); lags at/after a chain's count are exact zeros
     # (zero-padded xc), so the monotone scan stops there at the latest.
-    n_pairs = (t_max - 1) // 2
-    even = rho[:, 1 : 1 + 2 * n_pairs : 2]
-    odd = rho[:, 2 : 2 + 2 * n_pairs : 2]
+    n_pairs = t_max // 2
+    even = rho[:, 0 : 2 * n_pairs : 2]
+    odd = rho[:, 1 : 2 * n_pairs : 2]
     pair = even + odd[:, : even.shape[1]]                          # (C, P, d)
 
     def scan_fn(carry, p):
@@ -133,7 +136,7 @@ def effective_sample_size_ragged(x, counts):
          jnp.ones((n_chains, dim), bool)),
         jnp.moveaxis(pair, 1, 0),
     )
-    tau = -1.0 + 2.0 * (rho[:, 0] + 2.0 * jnp.sum(contribs, axis=0))
+    tau = -1.0 + 2.0 * jnp.sum(contribs, axis=0)
     tau = jnp.maximum(
         tau, 1.0 / jnp.log10(jnp.maximum(cntf[:, None], 10.0))
     )

@@ -159,6 +159,28 @@ def test_diagnostics_sanity():
     assert ess_ar[0] < 500
 
 
+def test_ess_ar1_ground_truth():
+    """Geyer-pairing ground truth: AR(1) with coefficient phi has
+    rho_k = phi^k and integrated autocorrelation time tau = (1+phi)/(1-phi),
+    so true ESS = n*m*(1-phi)/(1+phi). Catches the P_m pairing-offset bug
+    (pairing from rho_1 yields tau ~= 1 + 4*sum(rho) = ~0.5x ESS)."""
+    from advancedhmc_tpu.diagnostics import effective_sample_size_ragged
+
+    rng = np.random.default_rng(42)
+    n, m, phi = 4000, 8, 0.7
+    x = np.zeros((n, m, 2))
+    eps = rng.normal(size=(n, m, 2))
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t]
+    true_ess = n * m * (1 - phi) / (1 + phi)
+    est = np.asarray(effective_sample_size(jnp.asarray(x)))
+    np.testing.assert_allclose(est, true_ess, rtol=0.15)
+    # per-chain-sum (ragged) estimator agrees on rectangular input
+    est_r = np.asarray(effective_sample_size_ragged(
+        jnp.asarray(np.swapaxes(x, 0, 1)), jnp.full((m,), n)))
+    np.testing.assert_allclose(est_r, true_ess, rtol=0.15)
+
+
 def test_coupled_chain_mode():
     """rand_coupled semantics: coupled chains share trajectory-shape decisions
     (NUTS doubling directions) but remain statistically valid."""
