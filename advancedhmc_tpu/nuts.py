@@ -811,7 +811,11 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             "resume state is rebuilt from the last completed transition's "
             "slim candidate)"
         )
-        assert 1 <= int(t_min) <= t_count
+        assert 1 <= int(t_min) < t_count, (
+            "t_min must be < n_transitions: the ragged 4-tuple return "
+            "contract only holds for t_min < n_transitions (for a "
+            "rectangular run call without t_min)"
+        )
 
     fused_fields = dict(
         t=jnp.asarray(0, jnp.int32),
@@ -1075,9 +1079,26 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     else:
         final = jax.lax.while_loop(fcond, fbody, fstate)
 
+    # Constant-filled leaves: the one-hot buffers above are zero past each
+    # chain's count by construction; `is_accept` and `nom_step_size` are
+    # synthesized here, so in ragged mode mask them with the validity mask
+    # too (a counts-unaware consumer then sees zeros, consistent with the
+    # other leaves). In per-chain-eps mode emit each chain's own nominal eps
+    # rather than broadcasting the representative chain's.
+    if eps_batch is not None:
+        nom_eps = jnp.broadcast_to(final["eps_nom"][..., None],
+                                   final["out_eps"].shape)
+    else:
+        nom_eps = jnp.broadcast_to(integ.nom_step_size,
+                                   final["out_eps"].shape)
+    accepted = jnp.ones(final["out_n_steps"].shape, bool)
+    if ragged:
+        valid = jnp.arange(t_count)[None, :] < final["t"][:, None]
+        accepted = accepted & valid
+        nom_eps = jnp.where(valid, nom_eps, 0)
     stats = {
         "n_steps": final["out_n_steps"],
-        "is_accept": jnp.ones(final["out_n_steps"].shape, bool),
+        "is_accept": accepted,
         "acceptance_rate": final["out_alpha"],
         "log_density": final["out_logdensity"],
         "hamiltonian_energy": final["out_energy"],
@@ -1086,8 +1107,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         "tree_depth": final["out_depth"],
         "numerical_error": final["out_diverged"],
         "step_size": final["out_eps"],
-        "nom_step_size": jnp.broadcast_to(integ.nom_step_size,
-                                          final["out_eps"].shape),
+        "nom_step_size": nom_eps,
     }
     if ragged:
         # resume from the last COMPLETED transition's candidate, not the
