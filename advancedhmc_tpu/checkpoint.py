@@ -25,13 +25,40 @@ def save_state(path: str, state: HMCState) -> None:
 
 
 def load_state(path: str, like: HMCState) -> HMCState:
-    """Load a checkpoint into the structure of `like` (same spec/shape run)."""
+    """Load a checkpoint into the structure of `like` (same spec/shape run).
+
+    The stored treedef and every leaf's shape are validated against `like`:
+    a structure mismatch (different spec, chain count, or dimension) raises
+    instead of silently misassigning leaves by index.
+    """
     data = np.load(path)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
-    leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
+    if "__treedef__" in data.files:
+        stored = bytes(data["__treedef__"]).decode()
+        if stored != str(treedef):
+            raise ValueError(
+                "checkpoint structure mismatch: the stored state's treedef "
+                f"differs from `like`'s.\n  stored: {stored}\n  "
+                f"expected: {treedef}"
+            )
+    n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_stored != len(leaves_like):
+        raise ValueError(
+            f"checkpoint has {n_stored} leaves but `like` has "
+            f"{len(leaves_like)}"
+        )
     import jax.numpy as jnp
 
-    leaves = [jnp.asarray(a, dtype=b.dtype) for a, b in zip(leaves, leaves_like)]
+    leaves = []
+    for i, b in enumerate(leaves_like):
+        a = data[f"leaf_{i}"]
+        if tuple(a.shape) != tuple(np.shape(b)):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(a.shape)} but `like` "
+                f"expects {tuple(np.shape(b))} (different chain count, "
+                "dimension, or adaptor configuration?)"
+            )
+        leaves.append(jnp.asarray(a, dtype=jnp.asarray(b).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -82,10 +109,20 @@ def load_result(path: str, like_state=None):
         import jax.numpy as jnp
 
         leaves_like, treedef = jax.tree_util.tree_flatten(like_state)
-        leaves = [
-            jnp.asarray(state_leaves[i], dtype=b.dtype)
-            for i, b in enumerate(leaves_like)
-        ]
+        if len(state_leaves) != len(leaves_like):
+            raise ValueError(
+                f"saved result has {len(state_leaves)} state leaves but "
+                f"`like_state` has {len(leaves_like)}"
+            )
+        leaves = []
+        for i, b in enumerate(leaves_like):
+            a = state_leaves[i]
+            if tuple(a.shape) != tuple(np.shape(b)):
+                raise ValueError(
+                    f"saved state leaf {i} has shape {tuple(a.shape)} but "
+                    f"`like_state` expects {tuple(np.shape(b))}"
+                )
+            leaves.append(jnp.asarray(a, dtype=jnp.asarray(b).dtype))
         final_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return SampleResult(
         thetas=thetas,

@@ -85,6 +85,29 @@ class HMCState(struct.PyTreeNode):
         return self.replace(z=z)
 
 
+def _pytree_fingerprint(tree):
+    """Structural fingerprint of a config pytree: treedef (static fields
+    ride in its aux data) + each concrete array leaf's (shape, dtype,
+    bytes). Hashable, and equal fingerprints imply identical compilation
+    when the tree is used as a static jit argument. Non-array leaves pass
+    through (they must be hashable themselves); tracer leaves fall back to
+    object identity (a spec built from traced values is not a valid static
+    argument anyway)."""
+    import numpy as _np
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    fp = []
+    for leaf in leaves:
+        if isinstance(leaf, jax.core.Tracer):
+            fp.append(("tracer", id(leaf)))
+        elif isinstance(leaf, (jax.Array, _np.ndarray, _np.generic)):
+            a = _np.asarray(leaf)
+            fp.append((a.shape, str(a.dtype), a.tobytes()))
+        else:
+            fp.append(leaf)
+    return treedef, tuple(fp)
+
+
 @dataclasses.dataclass(frozen=True)
 class SampleSpec:
     """Static configuration closed over by the compiled step."""
@@ -99,9 +122,22 @@ class SampleSpec:
     # RNGs mode (`rand_coupled`, /root/reference/src/utilities.jl:39-47).
     coupled: bool = False
 
+    # Hash/eq are STRUCTURAL over the kernel/kinetic config (treedef +
+    # static fields + concrete leaf values), not object identity: equal
+    # specs used as static jit arguments share one compile-cache entry, and
+    # id() reuse after GC can never alias distinct configs.
+    def _fingerprint(self):
+        return (self.target, _pytree_fingerprint(self.kernel), self.adaptor,
+                self.cross_chain, _pytree_fingerprint(self.kinetic),
+                self.coupled)
+
     def __hash__(self):
-        return hash((self.target, id(self.kernel), self.adaptor,
-                     self.cross_chain, self.kinetic, self.coupled))
+        return hash(self._fingerprint())
+
+    def __eq__(self, other):
+        if not isinstance(other, SampleSpec):
+            return NotImplemented
+        return self._fingerprint() == other._fingerprint()
 
 
 def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,

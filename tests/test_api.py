@@ -142,6 +142,38 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1.z.theta), np.asarray(s2.z.theta))
 
 
+def test_checkpoint_mismatch_raises(tmp_path):
+    """A checkpoint loaded into a mismatched structure must ERROR, not
+    silently misassign leaves by index."""
+    import pytest
+
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.sampler import SampleSpec
+
+    target = std_gaussian(D)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=False)
+    state = init_state(jax.random.PRNGKey(4), spec,
+                       make_metric("diagonal", D, dtype=jnp.float64),
+                       jnp.zeros((3, D), jnp.float64), init_eps=0.3)
+    path = str(tmp_path / "ck.npz")
+    save_state(path, state)
+
+    # different chain count → leaf shape mismatch
+    state_5c = init_state(jax.random.PRNGKey(4), spec,
+                          make_metric("diagonal", D, dtype=jnp.float64),
+                          jnp.zeros((5, D), jnp.float64), init_eps=0.3)
+    with pytest.raises(ValueError, match="shape"):
+        load_state(path, state_5c)
+
+    # different metric kind → different treedef (dense carries chol factor)
+    state_dense = init_state(jax.random.PRNGKey(4), spec,
+                             make_metric("dense", D, dtype=jnp.float64),
+                             jnp.zeros((3, D), jnp.float64), init_eps=0.3)
+    with pytest.raises(ValueError):
+        load_state(path, state_dense)
+
+
 def test_diagnostics_sanity():
     rng = np.random.default_rng(0)
     iid = rng.normal(size=(1000, 4, 3))
@@ -179,6 +211,39 @@ def test_ess_ar1_ground_truth():
     est_r = np.asarray(effective_sample_size_ragged(
         jnp.asarray(np.swapaxes(x, 0, 1)), jnp.full((m,), n)))
     np.testing.assert_allclose(est_r, true_ess, rtol=0.15)
+
+
+def test_samplespec_structural_hash_no_recompile():
+    """Structurally-equal SampleSpecs (separately constructed kernels) must
+    hash/compare equal and share ONE jit compile-cache entry when used as a
+    static argument; a config difference must miss the cache."""
+    from advancedhmc_tpu.sampler import SampleSpec, init_state, sample_step
+    from advancedhmc_tpu.adaptation import adapt_flags
+
+    target = std_gaussian(D)
+
+    def mk_spec(max_depth=5):
+        k = HMCKernel(Trajectory(
+            Leapfrog(step_size=jnp.asarray(0.3, jnp.float64)),
+            GeneralisedNoUTurn(max_depth=max_depth), "multinomial"))
+        return SampleSpec(target=target, kernel=k,
+                          adaptor=AdaptorConfig(kind="none"))
+
+    s1, s2, s3 = mk_spec(), mk_spec(), mk_spec(max_depth=6)
+    assert s1 == s2 and hash(s1) == hash(s2)
+    assert s1 != s3
+
+    step = jax.jit(sample_step, static_argnums=(0,))
+    theta0 = jnp.zeros((2, D), jnp.float64)
+    st = init_state(jax.random.PRNGKey(0), s1,
+                    make_metric("diagonal", D, dtype=jnp.float64), theta0)
+    flags = jax.tree_util.tree_map(lambda a: a[0], adapt_flags(s1.adaptor, 0, 1))
+    step(s1, st, flags)
+    assert step._cache_size() == 1
+    step(s2, st, flags)
+    assert step._cache_size() == 1, "equal spec must not recompile"
+    step(s3, st, flags)
+    assert step._cache_size() == 2, "different config must recompile"
 
 
 def test_coupled_chain_mode():
