@@ -85,6 +85,22 @@ class HMCState(struct.PyTreeNode):
         return self.replace(z=z)
 
 
+def _path_name(path):
+    """Join a jax key path into a variable name: dict keys and attribute
+    names verbatim, sequence positions as indices ("coefs.0")."""
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p).strip(".[]'\""))
+    return ".".join(parts)
+
+
 def _pytree_fingerprint(tree):
     """Structural fingerprint of a config pytree: treedef (static fields
     ride in its aux data) + each concrete array leaf's (shape, dtype,
@@ -659,6 +675,10 @@ class SampleResult:
     warmup_stats: Optional[Dict[str, jnp.ndarray]]
     final_state: HMCState
     online: Optional[Dict[str, jnp.ndarray]] = None
+    # The sampled target (set by `sample`): carries `unravel` (pytree
+    # targets) / `transforms` (constrained-space targets) so exports can
+    # name parameters and back-transform draws.
+    target: Optional[Any] = None
 
     @property
     def n_chains(self):
@@ -666,16 +686,65 @@ class SampleResult:
             return self.thetas.shape[1]
         return self.final_state.z.theta.shape[0]
 
-    def to_inference_dict(self):
-        """ArviZ-convention export: posterior (chain, draw, dim) +
+    def _named_posterior(self, flat, constrained: bool):
+        """Split (chain, draw, dim) flat draws into named variables.
+
+        Pytree targets (target_from_pytree) export one variable per leaf
+        with its original shape; transformed targets with constrained=True
+        back-transform to the constrained space — the per-parameter naming
+        + invlink behavior of the reference's MCMCChains extension
+        (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl:19-40)."""
+        import numpy as np
+
+        tgt = self.target
+        if constrained:
+            transforms = getattr(tgt, "transforms", None)
+            if transforms is None:
+                raise ValueError(
+                    "constrained=True requires a target built by "
+                    "transforms.transformed_target"
+                )
+            from .transforms import constrain as _constrain
+
+            names = getattr(tgt, "names", None) or [
+                f"x{i}" for i in range(len(transforms))
+            ]
+            blocks = _constrain(transforms, jnp.asarray(flat))
+            return {n: np.asarray(b) for n, b in zip(names, blocks)}
+        unravel = getattr(tgt, "unravel", None)
+        if unravel is None:
+            return {"theta": flat}
+        example = unravel(jnp.zeros((tgt.dim,), jnp.asarray(flat).dtype))
+        leaves, _ = jax.tree_util.tree_flatten_with_path(example)
+        post, off = {}, 0
+        for path, leaf in leaves:
+            name = _path_name(path) or "theta"
+            size = int(np.size(leaf))
+            post[name] = flat[..., off:off + size].reshape(
+                flat.shape[:2] + np.shape(leaf)
+            )
+            off += size
+        return post
+
+    def to_inference_dict(self, constrained: bool = False):
+        """ArviZ-convention export: posterior (chain, draw, *shape) +
         sample_stats — the analogue of the MCMCChains `bundle_samples`
-        extension (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl:7-43)."""
+        extension (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl:7-43).
+
+        Posterior variables carry parameter NAMES when the target knows
+        them: targets from `target_from_pytree` export one variable per
+        pytree leaf (dict keys / attribute names / sequence indices joined
+        with '.'), each reshaped to its original leaf shape;
+        `constrained=True` additionally back-transforms draws from targets
+        built by `transforms.transformed_target` into the constrained
+        space. Plain flat targets export a single "theta" variable."""
         import numpy as np
 
         if self.thetas is None:
             raise ValueError("draws were not stored (collect='online')")
 
-        posterior = {"theta": np.moveaxis(np.asarray(self.thetas), 0, 1)}
+        flat = np.moveaxis(np.asarray(self.thetas), 0, 1)
+        posterior = self._named_posterior(flat, constrained)
         rename = {
             "log_density": "lp",
             "numerical_error": "diverging",
@@ -692,7 +761,7 @@ class SampleResult:
         }
         return {"posterior": posterior, "sample_stats": sample_stats}
 
-    def to_arviz(self):
+    def to_arviz(self, constrained: bool = False):
         """Build an arviz.InferenceData when arviz is installed (optional
         dependency — the analogue of the reference's weak-dep MCMCChains
         extension loading, /root/reference/Project.toml:20-32)."""
@@ -703,7 +772,7 @@ class SampleResult:
                 "arviz is not installed; use to_inference_dict() for the "
                 "plain-dict export"
             ) from e
-        d = self.to_inference_dict()
+        d = self.to_inference_dict(constrained=constrained)
         return az.from_dict(posterior=d["posterior"],
                             sample_stats=d["sample_stats"])
 
@@ -1107,6 +1176,7 @@ def sample(
         thetas=thetas, stats=stats, warmup_stats=warmup_stats,
         final_state=state,
         online=online_summary(om_final) if om_final is not None else None,
+        target=target,
     )
     if verbose:
         # end-of-run EBFMI / acceptance report ≅ sampler.jl:229-246

@@ -146,20 +146,33 @@ def _apply(transforms: Sequence[Transform], x) -> Tuple[list, jnp.ndarray]:
 def transformed_target(
     logdensity_constrained: Callable,
     transforms: Sequence[Transform],
+    names: Sequence[str] = None,
 ) -> LogDensityTarget:
     """Wrap a constrained-space log density into an unconstrained target.
 
     `logdensity_constrained(*blocks)` receives one constrained array per
     transform. The returned target's dimension is the total unconstrained
     size; its log density is ℓπ(T(x)) + log|det ∂T/∂x|.
+
+    `names` (one per transform) label the constrained blocks in
+    `SampleResult.to_inference_dict(constrained=True)` — the parameter-
+    naming + invlink role of the reference's MCMCChains extension
+    (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl:19-40). The target
+    carries `transforms`/`names` so results can back-transform draws.
     """
     dim = sum(t.size for t in transforms)
+    if names is not None and len(names) != len(transforms):
+        raise ValueError("need exactly one name per transform")
 
     def logdensity(x):
         ys, logdet = _apply(transforms, x)
         return logdensity_constrained(*ys) + logdet
 
-    return LogDensityTarget(logdensity, dim)
+    t = LogDensityTarget(logdensity, dim)
+    object.__setattr__(t, "transforms", tuple(transforms))
+    if names is not None:
+        object.__setattr__(t, "names", tuple(names))
+    return t
 
 
 def constrain(transforms: Sequence[Transform], x):
