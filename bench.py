@@ -304,11 +304,26 @@ def main():
                      else fuse_warmup)
             wchunk = block * max(1, chunk // block)
             size = min(wchunk, n_warmup - pos)
-            # stop at every phase boundary (re-anchor point, cap end)
-            for boundary in (fw_switch, cap_end):
+            # Stop at a phase boundary only when something actually changes
+            # there (depth cap end, eps re-anchor, late-block switch) — an
+            # unconditional clamp at fw_switch used to interact with the
+            # block rounding below to produce size=0 and an infinite loop
+            # whenever chunk < fuse_warmup (e.g. small-shape smokes).
+            stops = set()
+            if early_depth:
+                stops.add(cap_end)
+                if eps_research:
+                    stops.add(fw_switch)
+            if fuse_warmup_late > 1:
+                stops.add(fw_switch)
+            for boundary in stops:
                 if pos < boundary:
                     size = min(size, boundary - pos)
             size -= size % block
+            if size <= 0:
+                # boundary not block-aligned: overrun it by one block rather
+                # than stall (n_warmup % block == 0 guarantees headroom)
+                size = block
             state, wlf = run_warm_chunk(state, chunk_flags(pos, size), block,
                                         early)
             jax.block_until_ready(state.z.theta)
@@ -408,6 +423,7 @@ def main():
         ess = np.asarray(effective_sample_size_ragged(
             jnp.asarray(x_sub), jnp.asarray(off)))
         ess_total = float(np.median(ess)) * (n_chains / sub)
+        min_ess_total = float(np.min(ess)) * (n_chains / sub)
         extras = {
             "ragged_factor": ragged,
             "draws_per_chain_mean": round(float(total_c.mean()), 2),
@@ -437,6 +453,7 @@ def main():
 
         ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
         ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
+        min_ess_total = float(np.min(ess)) * (n_chains / max_ess_chains)
         # per-chain-sum estimator on the same draws: the apples-to-apples
         # comparison number for ragged-mode runs (different pooling)
         ess_pc = np.asarray(effective_sample_size_ragged(
@@ -451,8 +468,7 @@ def main():
     result = {
         "metric": "effective_samples_per_s_per_chip",
         "value": round(ess_per_s, 2),
-        "unit": "ESS/s/chip (NUTS, 100-D hierarchical logistic, "
-                f"{n_chains} chains)",
+        "unit": f"ESS/s/chip (NUTS, {dim}-D {model}, {n_chains} chains)",
         "vs_baseline": 1.0,
         "leapfrog_steps_per_s": round(lf_per_s, 1),
         "n_chains": n_chains,
@@ -461,6 +477,9 @@ def main():
         "sampling_s": round(t_draw, 2),
         "median_pooled_ess": round(float(np.median(ess)), 1),
         "min_pooled_ess": round(float(np.min(ess)), 1),
+        # worst-dimension throughput (the headline takes the median over
+        # dims; the min tracks the slowest-mixing parameter)
+        "min_ess_per_s": round(min_ess_total / t_draw / n_devices, 2),
         "divergence_rate": round(div_rate, 6),
         "accept_mean": round(accept_mean, 4),
         "mean_logsigma": round(mean_ls, 5),
