@@ -381,8 +381,10 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
     Reference-exact per-chain semantics (each chain adapts on its own window
     schedule by its own transition count, ref sampler.jl:60-90 +
     stan_adaptor.jl), with the async-lane utilisation of the fused loop.
-    Requires per-chain adaptation and a unit/diag metric (diag when a mass
-    matrix is adapted).
+    Requires per-chain adaptation and a unit/diag/dense metric (diag with
+    Welford-var/Nutpie, or dense with Welford-cov — per-chain dense
+    adaptation runs the Cholesky refresh inside the loop at window ends,
+    beyond the reference's single-chain-only dense metric, metric.jl:103).
     """
     from .adaptation import adapt_flags as _adapt_flags
 
@@ -404,12 +406,17 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
 
     key, k_step = jax.random.split(state.key)
     keys = jax.random.split(k_step, n_chains)
+    from .metrics import DenseEuclideanMetric as _Dense
     from .metrics import DiagEuclideanMetric as _Diag
     from .metrics import UnitEuclideanMetric as _Unit
 
-    # batch-explicit loop for diag/unit metrics (see fused_draw_phase)
-    if isinstance(state.metric, (_Diag, _Unit)):
-        if isinstance(state.metric, _Diag):
+    # batch-explicit loop for unit/diag/dense metrics (see fused_draw_phase);
+    # dense rides the m_inv+chol_u-in-state machinery with per-chain
+    # Welford-cov adaptation and in-loop Cholesky refresh at window ends
+    # (beyond the reference: its dense metric is single-chain only,
+    # /root/reference/src/metric.jl:103)
+    if isinstance(state.metric, (_Diag, _Unit, _Dense)):
+        if isinstance(state.metric, (_Diag, _Dense)):
             metric_t = jax.tree_util.tree_map(lambda x: x[0], state.metric)
             metric_b = state.metric
         else:
@@ -631,26 +638,46 @@ def init_state(
     key, k_eps, k_mom = jax.random.split(key, 3)
     h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
 
+    per_chain_adapt = not spec.cross_chain
     if init_eps is None:
         # ≅ make_step_size → find_good_stepsize (abstractmcmc.jl:310-354);
         # jitted: the search is a bounded while_loop, and eager dispatch
-        # would round-trip per op on remote (tunnelled) devices
-        eps0 = jax.jit(find_good_stepsize)(k_eps, h, theta[0])
+        # would round-trip per op on remote (tunnelled) devices. With
+        # per-chain adaptation the search runs vmapped from EACH chain's own
+        # initial position, seeding per-chain dual averaging — the
+        # reference's vector-ϵ semantics (AbstractScalarOrVec step size
+        # end-to-end, src/utilities.jl:1, src/adaptation/stepsize.jl:32-36).
+        if per_chain_adapt:
+            eps_keys = jax.random.split(k_eps, n_chains)
+            eps0 = jax.jit(
+                jax.vmap(lambda k, t: find_good_stepsize(k, h, t))
+            )(eps_keys, theta)
+        else:
+            eps0 = jax.jit(find_good_stepsize)(k_eps, h, theta[0])
     else:
         eps0 = jnp.asarray(init_eps, dtype)
 
     mom_keys = jax.random.split(k_mom, n_chains)
     z = jax.vmap(h.init_phasepoint, in_axes=(0, 0))(mom_keys, theta)
 
-    adapt = AdaptState.init(spec.adaptor, spec.target.dim, eps0, dtype)
-    if not spec.cross_chain:
-        # per-chain adaptor state + metric: broadcast along the chain axis
-        adapt = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)), adapt
-        )
+    if per_chain_adapt:
+        # per-chain adaptor state + metric along the chain axis; a (C,) eps
+        # (from the vmapped search, or a user-passed per-chain init_eps)
+        # seeds each chain's own dual-averaging anchor
+        eps_c = jnp.broadcast_to(jnp.asarray(eps0, dtype), (n_chains,))
+        adapt = jax.vmap(
+            lambda e: AdaptState.init(spec.adaptor, spec.target.dim, e, dtype)
+        )(eps_c)
         metric = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)), metric
         )
+    else:
+        if jnp.ndim(eps0) != 0:
+            raise ValueError(
+                "cross-chain adaptation shares one dual-averaging state; "
+                "init_eps must be a scalar"
+            )
+        adapt = AdaptState.init(spec.adaptor, spec.target.dim, eps0, dtype)
 
     return HMCState(
         iteration=jnp.zeros((), jnp.int32),
@@ -919,7 +946,11 @@ def sample(
         and n_draw_steps % fuse_draws == 0
         and (thin == 1 or fuse_draws % thin == 0)
     )
-    from .metrics import DiagEuclideanMetric, UnitEuclideanMetric
+    from .metrics import (
+        DenseEuclideanMetric,
+        DiagEuclideanMetric,
+        UnitEuclideanMetric,
+    )
 
     use_fused_warmup = (
         fuse_warmup
@@ -931,9 +962,13 @@ def sample(
             (adaptor.uses_mm
              and isinstance(metric, DiagEuclideanMetric)
              and adaptor.mm_kind in ("welford_var", "nutpie"))
+            or (adaptor.uses_mm
+                and isinstance(metric, DenseEuclideanMetric)
+                and adaptor.mm_kind == "welford_cov")
             or (not adaptor.uses_mm
                 and isinstance(metric, (DiagEuclideanMetric,
-                                        UnitEuclideanMetric)))
+                                        UnitEuclideanMetric,
+                                        DenseEuclideanMetric)))
         )
     )
     use_fused_warmup_cc = (

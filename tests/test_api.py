@@ -114,6 +114,28 @@ def test_constructors():
     assert hd.kernel.trajectory.criterion.lam == 1.5
 
 
+def test_yoshida4_through_constructors():
+    """make_integrator resolves the higher-order symplectic composition and
+    it samples correctly end-to-end (≅ the OrdinaryDiffEqSymplecticRK
+    extension plugging DiffEq solvers into HMC,
+    /root/reference/ext/AdvancedHMCOrdinaryDiffEqSymplecticRKExt.jl:6-47)."""
+    from advancedhmc_tpu import ComposedLeapfrog
+    from advancedhmc_tpu.constructors import make_integrator
+
+    integ = make_integrator("yoshida4", 0.2)
+    assert isinstance(integ, ComposedLeapfrog)
+    assert len(integ.gammas) == 3
+
+    cfg = HMC(eps=0.45, n_leapfrog=8, integrator="yoshida4")
+    res = cfg.sample(
+        jax.random.PRNGKey(21), std_gaussian(D),
+        jnp.zeros((4, D), jnp.float64), 1500, dtype=jnp.float64,
+    )
+    draws = np.asarray(res.thetas[300:]).reshape(-1, D)
+    assert np.abs(draws.mean(0)).max() < 0.15
+    assert np.abs(draws.std(0) - 1.0).max() < 0.15
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from advancedhmc_tpu import init_state
     from advancedhmc_tpu.sampler import SampleSpec, sample_step
@@ -322,6 +344,52 @@ def test_samplespec_structural_hash_no_recompile():
     assert step._cache_size() == 1, "equal spec must not recompile"
     step(s3, st, flags)
     assert step._cache_size() == 2, "different config must recompile"
+
+
+def test_per_chain_init_stepsize_search():
+    """With per-chain adaptation and no init_eps, the Stan step-size search
+    runs vmapped from EACH chain's own initial position (≅ the reference's
+    vector-eps semantics, src/adaptation/stepsize.jl:32-36): on a target
+    whose curvature varies over space (Neal's funnel) chains initialised in
+    different regions get different eps0, and sampling stays correct."""
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.models import neal_funnel
+    from advancedhmc_tpu.sampler import SampleSpec
+
+    target = neal_funnel(dim=4)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=False)
+    # chains seeded across the funnel's neck/mouth: v = -4 … +4
+    theta0 = jnp.zeros((6, 4), jnp.float64)
+    theta0 = theta0.at[:, 0].set(jnp.linspace(-4.0, 4.0, 6))
+    state = init_state(jax.random.PRNGKey(0), spec,
+                       make_metric("diagonal", 4, dtype=jnp.float64), theta0)
+    eps0 = np.asarray(state.adapt.da.eps)
+    assert eps0.shape == (6,)
+    assert (eps0 > 0).all()
+    # heteroscedastic target → real spread across chains
+    assert eps0.max() / eps0.min() > 1.5, eps0
+
+    # cross-chain mode keeps the shared scalar search
+    spec_cc = SampleSpec(target=target, kernel=_kernel(),
+                         adaptor=AdaptorConfig(kind=STAN), cross_chain=True)
+    state_cc = init_state(jax.random.PRNGKey(0), spec_cc,
+                          make_metric("diagonal", 4, dtype=jnp.float64),
+                          theta0)
+    assert np.asarray(state_cc.adapt.da.eps).shape == ()
+
+    # posterior unchanged: adapted sampling on a std Gaussian with the
+    # per-chain search still hits the right moments
+    res = sample(
+        jax.random.PRNGKey(1), std_gaussian(D), _kernel(),
+        make_metric("diagonal", D, dtype=jnp.float64),
+        0.5 * jax.random.normal(jax.random.PRNGKey(2), (8, D), jnp.float64),
+        1500, n_adapts=700, adaptor=AdaptorConfig(kind=STAN),
+        drop_warmup=True,
+    )
+    draws = np.asarray(res.thetas).reshape(-1, D)
+    assert np.abs(draws.mean(0)).max() < 0.15
+    assert np.abs(draws.std(0) - 1.0).max() < 0.15
 
 
 def test_coupled_chain_mode():
