@@ -33,7 +33,12 @@ from .adaptation import (
     STEPSIZE,
 )
 from .hamiltonian import FullMomentumRefreshment
-from .integrators import JitteredLeapfrog, Leapfrog, TemperedLeapfrog
+from .integrators import (
+    ComposedLeapfrog,
+    JitteredLeapfrog,
+    Leapfrog,
+    TemperedLeapfrog,
+)
 from .metrics import make_metric
 from .sampler import SampleResult, sample
 from .target import LogDensityTarget, as_target
@@ -49,7 +54,10 @@ from .trajectory import HMCKernel, Trajectory
 
 def make_integrator(kind: str, eps=0.1, jitter_frac=0.1, temper_alpha=1.05):
     """:leapfrog/:jitteredleapfrog/:temperedleapfrog resolution
-    (ref abstractmcmc.jl:356-370)."""
+    (ref abstractmcmc.jl:356-370), plus the higher-order symplectic
+    composition (:yoshida4) — the pluggable-solver capability of the
+    reference's OrdinaryDiffEqSymplecticRK extension
+    (/root/reference/ext/AdvancedHMCOrdinaryDiffEqSymplecticRKExt.jl:6-47)."""
     eps = jnp.asarray(eps)
     if kind in ("leapfrog",):
         return Leapfrog(step_size=eps)
@@ -57,6 +65,8 @@ def make_integrator(kind: str, eps=0.1, jitter_frac=0.1, temper_alpha=1.05):
         return JitteredLeapfrog.create(eps, jitter_frac)
     if kind in ("temperedleapfrog", "tempered"):
         return TemperedLeapfrog(step_size=eps, alpha=temper_alpha)
+    if kind in ("yoshida4", "composed"):
+        return ComposedLeapfrog.yoshida4(eps)
     raise ValueError(f"unknown integrator kind {kind!r}")
 
 
