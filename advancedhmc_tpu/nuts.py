@@ -742,10 +742,12 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     dense_in_state = metric_in_state and isinstance(
         metric_batch if metric_batch is not None else h.metric, _DenseMetric
     )
-    assert not (adaptive_metric and dense_in_state), (
-        "in-loop metric adaptation supports the diagonal metric only; "
-        "dense metrics ride the fused loop frozen (draw phase)"
-    )
+    # In-loop DENSE adaptation (per-chain Welford-cov + Cholesky refresh at
+    # boundaries) exceeds the reference, whose dense metric is single-chain
+    # only and marked "TODO: make dense mass matrix support matrix-mode"
+    # (/root/reference/src/metric.jl:103). The refresh costs one per-chain
+    # (D,D) Cholesky per transition boundary inside the loop body — warmup-
+    # phase only; the draw phase carries the metric frozen.
 
     def _core_state(k, z0_c, metric_c=None):
         h_c = h if metric_c is None else h.replace(metric=metric_c)
@@ -934,18 +936,35 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
             )
             nominal_eps = ad.da.eps
             m_inv_next = ad.mm.m_inv if adaptive_metric else None
+            if adaptive_metric and dense_in_state:
+                # refresh the momentum-draw factor whenever the estimate can
+                # have moved (Stan window end); elsewhere keep the carried
+                # factor — m_inv only changes at window ends, so this stays
+                # exactly consistent with the m_inv merge below
+                chol_next = jnp.where(
+                    flags_t["window_end"] & boundary,
+                    jnp.linalg.cholesky(m_inv_next).T,
+                    st["chol_u"],
+                )
+            else:
+                chol_next = None
         else:
             ad = None
             nominal_eps = None
             m_inv_next = None
+            chol_next = None
 
         # --- prepare the next transition (masked) ---
         key2, k_ref, k_slice, k_jit = jax.random.split(st2["key"], 4)
         if metric_in_state and dense_in_state:
             from .metrics import DenseEuclideanMetric as _DnEM
 
-            h_b = h.replace(metric=_DnEM(m_inv=st2["m_inv"],
-                                         chol_u=st2["chol_u"]))
+            if adaptive_metric:
+                h_b = h.replace(metric=_DnEM(m_inv=m_inv_next,
+                                             chol_u=chol_next))
+            else:
+                h_b = h.replace(metric=_DnEM(m_inv=st2["m_inv"],
+                                             chol_u=st2["chol_u"]))
         elif adaptive_metric or metric_in_state:
             from .metrics import DiagEuclideanMetric as _DEM
 
@@ -987,6 +1006,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                 merged[k] = ad
             elif k == "m_inv" and adaptive_metric:
                 merged[k] = jnp.where(reset, m_inv_next, st2["m_inv"])
+            elif k == "chol_u" and adaptive_metric and dense_in_state:
+                merged[k] = jnp.where(reset, chol_next, st2["chol_u"])
             elif k in fresh:
                 merged[k] = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(reset, a, b), fresh[k], st2[k]
