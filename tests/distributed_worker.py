@@ -1,0 +1,127 @@
+"""Worker for the multi-process distributed test (test_distributed.py).
+
+Runs cross-chain adapted NUTS on a chain-sharded global mesh under
+`jax.distributed` with gloo CPU collectives — the process topology analogue
+of the reference's `MCMCDistributed` ensemble pass-through
+(/root/reference/src/abstractmcmc.jl:90-129), except the chains COMMUNICATE:
+cross-chain Welford/dual-averaging reductions lower to all-reduces that
+cross the process boundary. The same script runs single-process (golden) and
+multi-process; results must match.
+
+Usage: distributed_worker.py <process_id> <num_processes> <port> <outfile>
+Device count per process comes from XLA_FLAGS (set by the orchestrator so
+that num_processes * devices_per_process == 8).
+"""
+
+import sys
+
+process_id = int(sys.argv[1])
+num_processes = int(sys.argv[2])
+port = int(sys.argv[3])
+outfile = sys.argv[4]
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+if num_processes > 1:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+assert jax.device_count() == 8, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from advancedhmc_tpu import (
+    AdaptorConfig,
+    GeneralisedNoUTurn,
+    HMCKernel,
+    Leapfrog,
+    Trajectory,
+    init_state,
+    make_metric,
+)
+from advancedhmc_tpu.adaptation import adapt_flags
+from advancedhmc_tpu.models import std_gaussian
+from advancedhmc_tpu.parallel.mesh import CHAIN_AXIS, mesh_of_all_devices
+from advancedhmc_tpu.sampler import SampleSpec, sample_step
+
+D = 4
+N_CHAINS = 16
+N_STEPS = 60
+N_ADAPTS = 30
+
+target = std_gaussian(D)
+kernel = HMCKernel(
+    Trajectory(Leapfrog(step_size=jnp.asarray(0.4, jnp.float64)),
+               GeneralisedNoUTurn(max_depth=6), "multinomial")
+)
+spec = SampleSpec(target=target, kernel=kernel,
+                  adaptor=AdaptorConfig(kind="stan"), cross_chain=True)
+
+# Deterministic host-side init: every process computes the identical full
+# state, then leaves are placed onto the GLOBAL mesh (chain axis sharded,
+# everything else replicated).
+state = init_state(jax.random.PRNGKey(0), spec,
+                   make_metric("diagonal", D, dtype=jnp.float64),
+                   jnp.zeros((N_CHAINS, D), jnp.float64), init_eps=0.4)
+mesh = mesh_of_all_devices()
+
+
+def globalize(tree):
+    def put(x):
+        x = np.asarray(x)
+        spec_ = (P(CHAIN_AXIS) if x.ndim >= 1 and x.shape[0] == N_CHAINS
+                 else P())
+        sh = NamedSharding(mesh, spec_)
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx, x=x: x[idx]
+        )
+    return jax.tree_util.tree_map(put, tree)
+
+
+state = state.replace(
+    z=globalize(state.z),
+    metric=globalize(state.metric),
+    adapt=globalize(state.adapt),
+    key=globalize(state.key),
+    iteration=globalize(state.iteration),
+)
+
+flags = jax.tree_util.tree_map(jnp.asarray,
+                               adapt_flags(spec.adaptor, N_ADAPTS, N_STEPS))
+
+
+@jax.jit
+def run(st):
+    def body(s, f):
+        s2, stats = sample_step(spec, s, f)
+        return s2, (s2.z.theta, stats["n_steps"])
+    return jax.lax.scan(body, st, flags)
+
+
+final, (thetas, n_steps) = run(state)
+
+# Replicate outputs so every process holds the full values.
+rep = NamedSharding(mesh, P())
+thetas_full = np.asarray(jax.jit(lambda x: x, out_shardings=rep)(thetas))
+eps_final = np.asarray(final.adapt.da.eps)
+m_inv = np.asarray(
+    jax.jit(lambda x: x, out_shardings=rep)(final.metric.m_inv)
+)
+total_steps = float(np.asarray(
+    jax.jit(lambda x: jnp.sum(x), out_shardings=rep)(n_steps)
+))
+
+if process_id == 0:
+    np.savez(outfile, thetas=thetas_full, eps=eps_final, m_inv=m_inv,
+             total_steps=total_steps)
+    print("saved", outfile, "eps", float(eps_final), "steps", total_steps,
+          flush=True)

@@ -1,0 +1,75 @@
+"""Multi-PROCESS distributed simulation (SURVEY.md §2.3 / BASELINE 2-host
+scaling proxy): 2 local processes × 4 CPU devices under jax.distributed with
+gloo collectives must reproduce the single-process 8-device run — the same
+global mesh, chains sharded over the process boundary, cross-chain
+adaptation reductions crossing it as all-reduces. Exceeds the reference's
+`MCMCDistributed` (independent chains, zero communication,
+/root/reference/src/abstractmcmc.jl:90-129)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env(devices_per_proc: int):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    # overwrite (conftest's 8-device flag is in the inherited env)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
+    return env
+
+
+def _run_topology(num_processes: int, tmp_path, tag: str):
+    port = _free_port()
+    out = str(tmp_path / f"dist_{tag}.npz")
+    devices = 8 // num_processes
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(num_processes),
+             str(port), out],
+            env=_worker_env(devices), cwd=ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(num_processes)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so[-1500:]}\n{se[-3000:]}"
+    return np.load(out)
+
+
+def test_two_process_matches_single_process(tmp_path):
+    golden = _run_topology(1, tmp_path, "p1")
+    multi = _run_topology(2, tmp_path, "p2")
+
+    # Cross-process all-reduces may associate differently than the
+    # single-process 8-way reduction; everything downstream must still agree
+    # to reduction-order tolerance.
+    np.testing.assert_allclose(multi["eps"], golden["eps"], rtol=1e-9)
+    np.testing.assert_allclose(multi["m_inv"], golden["m_inv"], rtol=1e-9)
+    np.testing.assert_allclose(multi["thetas"], golden["thetas"],
+                               rtol=1e-7, atol=1e-9)
+    assert multi["total_steps"] == golden["total_steps"]
+
+    # sanity: the run actually sampled (adapted eps, moved chains)
+    assert golden["eps"] > 0
+    draws = golden["thetas"][30:].reshape(-1, golden["thetas"].shape[-1])
+    assert np.linalg.norm(draws.mean(axis=0)) < 0.8
