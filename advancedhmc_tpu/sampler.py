@@ -885,14 +885,34 @@ def sample(
     flags = adapt_flags(adaptor, n_adapts, n_samples)
 
     def _progress_cb(iteration, stats):
+        # live stat display ≅ HMCProgressCallback (ref abstractmcmc.jl:221-291):
+        # phase, acceptance, step size, divergence fraction, tree depth,
+        # log density / energy, and a mass-matrix summary
         i = int(iteration)
-        print(
-            f"[advancedhmc_tpu] iter {i}/{n_samples}"
-            f" | accept {float(jnp.mean(stats['acceptance_rate'])):.3f}"
-            f" | step_size {float(jnp.mean(stats['step_size'])):.2e}"
-            f" | divergent {float(jnp.mean(stats['numerical_error'])):.3f}",
-            flush=True,
-        )
+        phase = "warmup" if i <= n_adapts else "sample"
+        parts = [
+            f"[advancedhmc_tpu] {phase} {i}/{n_samples}",
+            f"accept {float(jnp.mean(stats['acceptance_rate'])):.3f}",
+            f"eps {float(jnp.mean(stats['step_size'])):.2e}",
+            f"div {float(jnp.mean(stats['numerical_error'])):.3f}",
+        ]
+        if "tree_depth" in stats:
+            parts.append(f"depth {float(jnp.mean(stats['tree_depth'])):.1f}")
+        if "log_density" in stats:
+            parts.append(f"logp {float(jnp.mean(stats['log_density'])):.4g}")
+        if "hamiltonian_energy" in stats:
+            parts.append(
+                f"E {float(jnp.mean(stats['hamiltonian_energy'])):.4g}")
+        if "mm_diag" in stats:
+            d = stats["mm_diag"]
+            parts.append(
+                "M⁻¹ [{:.2g}..{:.2g}] μ {:.2g}".format(
+                    float(jnp.min(d)), float(jnp.max(d)), float(jnp.mean(d)))
+            )
+        print(" | ".join(parts), flush=True)
+
+    _PROGRESS_KEYS = ("acceptance_rate", "step_size", "numerical_error",
+                      "tree_depth", "log_density", "hamiltonian_energy")
 
     def _maybe_progress(new_state, stats):
         # ≅ the reference's ProgressMeter + divergence display
@@ -900,13 +920,20 @@ def sample(
         if progress:
             import jax.experimental
 
+            from .metrics import DenseEuclideanMetric as _DenseM
+
+            payload = {k: stats[k] for k in _PROGRESS_KEYS if k in stats}
+            mi = getattr(new_state.metric, "m_inv", None)
+            if mi is not None:
+                if isinstance(new_state.metric, _DenseM):
+                    mi = jnp.diagonal(mi, axis1=-2, axis2=-1)
+                payload["mm_diag"] = mi
             jax.lax.cond(
                 new_state.iteration % progress_every == 0,
                 lambda: jax.experimental.io_callback(
                     _progress_cb, None,
                     new_state.iteration,
-                    {k: stats[k] for k in
-                     ("acceptance_rate", "step_size", "numerical_error")},
+                    payload,
                     ordered=True,
                 ),
                 lambda: None,

@@ -454,6 +454,17 @@ def main():
         ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
         ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
         min_ess_total = float(np.min(ess)) * (n_chains / max_ess_chains)
+        if os.environ.get("AHMC_BENCH_ESS_ALL") == "1":
+            # validate the subsample-× extrapolation directly on ALL chains
+            # (one-off check; the FFT over the full batch is host-side slow)
+            ess_all = np.asarray(ess_fn(jnp.asarray(thetas_np)))
+            extras_all = {
+                "median_pooled_ess_allchains": round(float(np.median(ess_all)), 1),
+                "extrapolation_ratio": round(
+                    float(np.median(ess_all)) / max(ess_total, 1e-9), 4),
+            }
+        else:
+            extras_all = {}
         # per-chain-sum estimator on the same draws: the apples-to-apples
         # comparison number for ragged-mode runs (different pooling)
         ess_pc = np.asarray(effective_sample_size_ragged(
@@ -461,7 +472,8 @@ def main():
             jnp.full((max_ess_chains,), thetas_np.shape[0]),
         ))
         extras = {"median_ess_perchain_est": round(
-            float(np.median(ess_pc)) * (n_chains / max_ess_chains), 1)}
+            float(np.median(ess_pc)) * (n_chains / max_ess_chains), 1),
+            **extras_all}
     ess_per_s = ess_total / t_draw / n_devices
     lf_per_s = total_leapfrogs / t_draw / n_devices
 
