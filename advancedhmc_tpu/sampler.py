@@ -788,6 +788,55 @@ class SampleResult:
         }
         return {"posterior": posterior, "sample_stats": sample_stats}
 
+    def summary(self, constrained: bool = False, verbose: bool = True):
+        """Per-parameter posterior table: mean, sd, 5%/95% quantiles, bulk
+        and tail ESS, and rank-normalized split-R̂ — the `describe(chains)`
+        experience of the reference's MCMCChains export
+        (/root/reference/ext/AdvancedHMCMCMCChainsExt.jl), computed natively.
+        Parameter names come from the target (pytree leaves / transform
+        names); returns {name: {stat: value-or-array}} and pretty-prints a
+        table when `verbose`."""
+        import numpy as np
+
+        from .diagnostics import ess_bulk, ess_tail, rhat
+
+        d = self.to_inference_dict(constrained=constrained)
+        out = {}
+        rows = []
+        for name, arr in d["posterior"].items():
+            c, n = arr.shape[:2]
+            flat = np.asarray(arr).reshape(c, n, -1)     # (chain, draw, k)
+            x = np.moveaxis(flat, 0, 1)                  # (draw, chain, k)
+            stats = {
+                "mean": flat.mean((0, 1)),
+                "sd": flat.std((0, 1)),
+                "q5": np.quantile(flat, 0.05, axis=(0, 1)),
+                "q95": np.quantile(flat, 0.95, axis=(0, 1)),
+                "ess_bulk": np.asarray(ess_bulk(jnp.asarray(x))),
+                "ess_tail": np.asarray(ess_tail(jnp.asarray(x))),
+                "rhat": np.asarray(rhat(jnp.asarray(x))),
+            }
+            shape = arr.shape[2:]
+            out[name] = {
+                k: v.reshape(shape) if shape else v[0] for k, v in stats.items()
+            }
+            for j in range(flat.shape[-1]):
+                label = name if flat.shape[-1] == 1 else f"{name}[{j}]"
+                rows.append((label,) + tuple(
+                    float(stats[k][j]) for k in
+                    ("mean", "sd", "q5", "q95", "ess_bulk", "ess_tail",
+                     "rhat")))
+        if verbose:
+            hdr = ("parameter", "mean", "sd", "5%", "95%", "ess_bulk",
+                   "ess_tail", "rhat")
+            w = max(9, max(len(r[0]) for r in rows))
+            print(f"{hdr[0]:<{w}} " + " ".join(f"{h:>9}" for h in hdr[1:]))
+            for r in rows:
+                print(f"{r[0]:<{w}} "
+                      + " ".join(f"{v:9.3g}" for v in r[1:-3])
+                      + f" {r[-3]:9.0f} {r[-2]:9.0f} {r[-1]:9.3f}")
+        return out
+
     def to_arviz(self, constrained: bool = False):
         """Build an arviz.InferenceData when arviz is installed (optional
         dependency — the analogue of the reference's weak-dep MCMCChains

@@ -489,6 +489,9 @@ def main():
         "sampling_s": round(t_draw, 2),
         "median_pooled_ess": round(float(np.median(ess)), 1),
         "min_pooled_ess": round(float(np.min(ess)), 1),
+        # dim 0 of the hierarchical-logistic target is the logsigma
+        # hyperparameter — the usual worst mixer (PERF.md)
+        "argmin_ess_dim": int(np.argmin(ess)),
         # worst-dimension throughput (the headline takes the median over
         # dims; the min tracks the slowest-mixing parameter)
         "min_ess_per_s": round(min_ess_total / t_draw / n_devices, 2),

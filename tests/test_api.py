@@ -313,6 +313,30 @@ def test_named_parameter_export_constrained():
         res_plain.to_inference_dict(constrained=True)
 
 
+def test_result_summary_table():
+    """SampleResult.summary(): per-parameter table with names, moments,
+    quantiles, ESS, R̂ (≅ MCMCChains describe on the reference's export)."""
+    from advancedhmc_tpu import target_from_pytree
+
+    example = {"mu": jnp.zeros(()), "beta": jnp.zeros((2,))}
+    target = target_from_pytree(
+        lambda p: -0.5 * (p["mu"] ** 2 + jnp.sum(p["beta"] ** 2)), example)
+    res = sample(
+        jax.random.PRNGKey(14), target, _kernel(),
+        make_metric("diagonal", 3, dtype=jnp.float64),
+        jnp.zeros((4, 3), jnp.float64), 800,
+        adaptor=AdaptorConfig(kind="none"), init_eps=0.5,
+    )
+    s = res.summary(verbose=False)
+    assert set(s.keys()) == {"beta", "mu"}
+    assert s["mu"]["mean"].shape == ()
+    assert s["beta"]["ess_bulk"].shape == (2,)
+    assert abs(float(s["mu"]["mean"])) < 0.2
+    assert 0.9 < float(s["mu"]["rhat"]) < 1.1
+    assert float(s["beta"]["ess_bulk"].min()) > 300
+    assert s["mu"]["q5"] < s["mu"]["q95"]
+
+
 def test_samplespec_structural_hash_no_recompile():
     """Structurally-equal SampleSpecs (separately constructed kernels) must
     hash/compare equal and share ONE jit compile-cache entry when used as a
