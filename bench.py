@@ -455,9 +455,14 @@ def main():
         ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
         min_ess_total = float(np.min(ess)) * (n_chains / max_ess_chains)
         if os.environ.get("AHMC_BENCH_ESS_ALL") == "1":
-            # validate the subsample-× extrapolation directly on ALL chains
-            # (one-off check; the FFT over the full batch is host-side slow)
-            ess_all = np.asarray(ess_fn(jnp.asarray(thetas_np)))
+            # validate the subsample-× extrapolation directly on ALL chains.
+            # ESS is per-dimension independent, so chunk the dim axis — the
+            # full-batch FFT ((2n, C, D) complex intermediates) exhausts TPU
+            # HBM at bench shape.
+            ess_all = np.concatenate([
+                np.asarray(ess_fn(jnp.asarray(thetas_np[:, :, j:j + 10])))
+                for j in range(0, dim, 10)
+            ])
             extras_all = {
                 "median_pooled_ess_allchains": round(float(np.median(ess_all)), 1),
                 "extrapolation_ratio": round(
