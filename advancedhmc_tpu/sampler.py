@@ -173,7 +173,7 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
                      unroll: int = 1, progress_cb=None, out_dtype=None,
-                     stage_slots: int = 0):
+                     stage_slots: int = 0, pack_carry: str = ""):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -204,6 +204,7 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
             key, h, traj, z, fuse, spec.kernel.refreshment, unroll=unroll,
             out_dtype=out_dtype, batched=batched, metric_batch=metric_batch,
             eps_batch=eps_batch, stage_slots=stage_slots,
+            pack_carry=pack_carry,
         )
 
     # Batch-explicit fused loop: one while_loop over the batched state
@@ -889,6 +890,7 @@ def sample(
     warmup_depth_cap: Optional[int] = None,
     warmup_cap_frac: float = 0.75,
     warmup_eps_research: bool = False,
+    warmup_cap_frac2: Optional[float] = None,
 ) -> SampleResult:
     """Sample `n_samples` total iterations (first `n_adapts` adapting).
 
@@ -909,6 +911,12 @@ def sample(
     phase must be long enough (≳50 iterations) to absorb the
     mu = log(10·ε) re-anchor transient. Draws always run at the
     trajectory's full max_depth.
+
+    3-phase schedule: `warmup_cap_frac2 > warmup_cap_frac` keeps the depth
+    cap PAST the eps re-anchor (which still fires at `warmup_cap_frac`), so
+    the dual-averaging descent's deep-tree episodes are bounded too; full
+    depth runs only for the final `1 - warmup_cap_frac2` of warmup — the
+    warmup-wall-optimal schedule measured in PERF.md ("Warmup anatomy").
     """
     if n_adapts is None:
         n_adapts = min(n_samples // 10, 1000)
@@ -1085,8 +1093,24 @@ def sample(
                 "switch (warmup_cap_frac < 1); the dual-averaging re-anchor "
                 "transient must be absorbed before finalize"
             )
+        # 3-phase: keep the cap through [n_cap, n_cap2) after the re-anchor
+        if warmup_cap_frac2 is not None:
+            if warmup_cap_frac2 <= warmup_cap_frac:
+                raise ValueError(
+                    "warmup_cap_frac2 must exceed warmup_cap_frac (it is "
+                    "the end of the EXTENDED capped phase)"
+                )
+            n_cap2 = int(n_adapts * warmup_cap_frac2) // _round * _round
+            n_cap2 = max(n_cap, min(n_cap2, n_adapts))
+            if n_cap2 >= n_adapts:
+                raise ValueError(
+                    "warmup_cap_frac2 must leave a full-depth tail "
+                    "(< 1) so dual averaging finalizes on full trajectories"
+                )
+        else:
+            n_cap2 = n_cap
     else:
-        n_cap = 0
+        n_cap = n_cap2 = 0
         _spec_capped = spec
 
     def _eps_reanchor(state):
@@ -1183,29 +1207,35 @@ def sample(
             warm_flags_all = jax.tree_util.tree_map(
                 lambda a: a[:n_adapts], flags
             )
-            fl_cap = jax.tree_util.tree_map(lambda a: a[:n_cap],
-                                            warm_flags_all)
-            state, th_c, st_c = fused_warmup_phase_crosschain(
-                _spec_capped, state, n_cap, fuse_warmup_block, flags=fl_cap
-            )
-            if n_cap < n_adapts:
-                if warmup_eps_research:
+            # phase boundaries: [0, n_cap) capped → eps re-anchor →
+            # [n_cap, n_cap2) still capped (3-phase) → [n_cap2, n_adapts)
+            # full depth
+            bounds = sorted({0, n_cap, n_cap2, n_adapts})
+            th_segs, st_segs = [], []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if warmup_eps_research and lo == n_cap and n_cap < n_adapts:
                     state = _eps_reanchor(state)
-                fl_full = jax.tree_util.tree_map(lambda a: a[n_cap:],
-                                                 warm_flags_all)
-                state, th_f, st_f = fused_warmup_phase_crosschain(
-                    spec, state, n_adapts - n_cap, fuse_warmup_block,
-                    flags=fl_full
+                fl_seg = jax.tree_util.tree_map(
+                    lambda a: a[lo:hi], warm_flags_all
                 )
-                warm_thetas = jnp.concatenate([th_c, th_f], axis=0)
+                state, th_s, st_s = fused_warmup_phase_crosschain(
+                    _spec_capped if hi <= n_cap2 else spec, state,
+                    hi - lo, fuse_warmup_block, flags=fl_seg,
+                )
+                th_segs.append(th_s)
+                st_segs.append(st_s)
+            if len(th_segs) == 1:
+                warm_thetas, warm_stats = th_segs[0], st_segs[0]
+            else:
+                warm_thetas = jnp.concatenate(th_segs, axis=0)
+                st_last = st_segs[-1]
                 warm_stats = {
                     k: jnp.concatenate(
-                        [st_c[k].astype(st_f[k].dtype), st_f[k]], axis=0
+                        [s[k].astype(st_last[k].dtype) for s in st_segs],
+                        axis=0,
                     )
-                    for k in st_f
+                    for k in st_last
                 }
-            else:
-                warm_thetas, warm_stats = th_c, st_c
         elif use_fused_warmup_cc:
             state, warm_thetas, warm_stats = fused_warmup_phase_crosschain(
                 spec, state, n_adapts, fuse_warmup_block
@@ -1241,23 +1271,32 @@ def sample(
             return f
 
         if use_depth_cap:
-            fl_cap, fl_full = (
-                jax.tree_util.tree_map(lambda a: a[:n_cap], warm_flags),
-                jax.tree_util.tree_map(lambda a: a[n_cap:], warm_flags),
-            )
-            state, ws_c = jax.lax.scan(_warm_step(_spec_capped), state, fl_cap)
-            if n_cap < n_adapts:
-                if warmup_eps_research:
+            bounds = sorted({0, n_cap, n_cap2, n_adapts})
+            ws_segs = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if warmup_eps_research and lo == n_cap and n_cap < n_adapts:
                     state = _eps_reanchor(state)
-                state, ws_f = jax.lax.scan(_warm_step(spec), state, fl_full)
-                warmup_stats = (
-                    {k: jnp.concatenate(
-                        [ws_c[k].astype(ws_f[k].dtype), ws_f[k]], axis=0)
-                     for k in ws_f}
-                    if collect_warmup_stats else None
+                fl_seg = jax.tree_util.tree_map(
+                    lambda a: a[lo:hi], warm_flags
                 )
+                state, ws_s = jax.lax.scan(
+                    _warm_step(_spec_capped if hi <= n_cap2 else spec),
+                    state, fl_seg,
+                )
+                ws_segs.append(ws_s)
+            if not collect_warmup_stats:
+                warmup_stats = None
+            elif len(ws_segs) == 1:
+                warmup_stats = ws_segs[0]
             else:
-                warmup_stats = ws_c if collect_warmup_stats else None
+                ws_last = ws_segs[-1]
+                warmup_stats = {
+                    k: jnp.concatenate(
+                        [s[k].astype(ws_last[k].dtype) for s in ws_segs],
+                        axis=0,
+                    )
+                    for k in ws_last
+                }
         else:
             warm_step = _warm_step(spec)
             state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)

@@ -188,6 +188,9 @@ def main():
     stage = int(os.environ.get("AHMC_BENCH_STAGE", 0))
 
     out_dtype = os.environ.get("AHMC_BENCH_OUT_DTYPE") or None
+    # packed while-loop carry experiment: "fc" = (NF, C) field-major,
+    # "cf" = (C, NF) chain-major (see nuts._packed_while_loop)
+    pack_carry = os.environ.get("AHMC_BENCH_PACK", "")
 
     # Variable-draws-per-chain collection (AHMC_BENCH_RAGGED = buffer-capacity
     # factor > 1, e.g. 1.5): every chain completes ≥ `chunk` transitions per
@@ -203,7 +206,8 @@ def main():
         new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
                                                  unroll=unroll,
                                                  out_dtype=out_dtype,
-                                                 stage_slots=stage)
+                                                 stage_slots=stage,
+                                                 pack_carry=pack_carry)
         return new_st, (thetas, stats["n_steps"],
                         jnp.sum(stats["numerical_error"]),
                         jnp.mean(stats["acceptance_rate"]))

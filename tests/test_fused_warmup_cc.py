@@ -143,6 +143,37 @@ def test_warmup_depth_cap_fused_cc():
     assert np.isfinite(eps_end) and eps_end > 0
 
 
+def test_warmup_depth_cap_3phase_fused_cc():
+    # 3-phase schedule: cap [0, 0.5) → eps re-anchor → cap [0.5, 0.75) →
+    # full depth [0.75, 1). The DA descent after the re-anchor runs under
+    # the cap (warmup_cap_frac2), bounding its deep-tree episodes.
+    out = _run(True, fuse_warmup_block=8, drop_warmup=True,
+               warmup_depth_cap=2, warmup_cap_frac=0.5,
+               warmup_eps_research=True, warmup_cap_frac2=0.75)
+    wd = np.asarray(out.warmup_stats["tree_depth"])  # (warm, C)
+    n_cap2 = 192 * 3 // 4
+    assert wd[:n_cap2].max() <= 2, wd[:n_cap2].max()
+    assert wd[n_cap2:].max() <= 5
+    post = np.asarray(out.thetas).reshape(-1, DIM)
+    np.testing.assert_allclose(post.mean(0), np.zeros(DIM), atol=0.15)
+    np.testing.assert_allclose(post.std(0), np.ones(DIM), rtol=0.15)
+    eps_end = float(np.asarray(out.stats["step_size"])[-1, 0])
+    assert np.isfinite(eps_end) and eps_end > 0
+
+
+def test_warmup_cap_frac2_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="cap_frac2"):
+        _run(True, fuse_warmup_block=8, drop_warmup=True,
+             warmup_depth_cap=2, warmup_cap_frac=0.75,
+             warmup_eps_research=True, warmup_cap_frac2=0.5)
+    with pytest.raises(ValueError, match="full-depth tail"):
+        _run(True, fuse_warmup_block=8, drop_warmup=True,
+             warmup_depth_cap=2, warmup_cap_frac=0.5,
+             warmup_eps_research=True, warmup_cap_frac2=1.0)
+
+
 def test_warmup_depth_cap_scan():
     out = _run(False, drop_warmup=True, warmup_depth_cap=2,
                warmup_cap_frac=0.5)
