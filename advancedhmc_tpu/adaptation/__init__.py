@@ -34,6 +34,7 @@ from .stan import (
     AdaptState,
     AdaptorConfig,
     adapt_flags,
+    transient_depth_caps,
     adapt_step,
     adapt_step_batch,
     stan_schedule,
@@ -58,6 +59,7 @@ __all__ = [
     "AdaptState",
     "AdaptorConfig",
     "adapt_flags",
+    "transient_depth_caps",
     "adapt_step",
     "adapt_step_batch",
     "stan_schedule",

@@ -117,6 +117,38 @@ def stan_schedule(
     return in_window, is_split
 
 
+def transient_depth_caps(
+    n_adapts: int,
+    max_depth: int,
+    cap: int,
+    init_len: int = 40,
+    post_len: int = 16,
+    init_buffer: int = 75,
+    term_buffer: int = 50,
+    window_size: int = 25,
+) -> np.ndarray:
+    """Transient-gated warmup depth-cap schedule ((n_adapts,) int32).
+
+    Warmup wall is dominated by dual-averaging transients: ε overshoots
+    right after initialisation and after every Stan window reset, spawning
+    deep-tree episodes whose max-over-chains sets the fused block's
+    iteration count (PERF.md "Warmup anatomy"). This returns `cap` for the
+    first `init_len` iterations and for `post_len` iterations after each
+    window reset, and `max_depth` elsewhere — so the DA equilibrium phases
+    (which set the final ε and the adapted metric) run at FULL depth,
+    unlike a whole-warmup cap (which biases the equilibrium: measured
+    accept 0.575 vs 0.591 target at bench shape). Feed to
+    `fused_warmup_phase_crosschain(..., depth_caps=...)`; the cap is a
+    traced value inside one fused program (no per-segment compiles).
+    """
+    _, w_end = stan_schedule(n_adapts, init_buffer, term_buffer, window_size)
+    caps = np.full(n_adapts, max_depth, np.int32)
+    caps[: min(init_len, n_adapts)] = cap
+    for r in np.nonzero(w_end)[0]:
+        caps[r + 1: r + 1 + post_len] = cap
+    return caps
+
+
 def adapt_flags(cfg: AdaptorConfig, n_adapts: int, n_total: int):
     """Per-iteration flag arrays (length n_total) fed to the sampling scan."""
     is_adapt = np.arange(n_total) < n_adapts

@@ -78,7 +78,8 @@ def _uturn_classic(dtheta_tree, vel_l, vel_r):
 def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     force_directions=None, return_debug=False,
                     coupled_key=None, _return_machinery=False,
-                    _adaptive_metric=False, _slim_candidates=False):
+                    _adaptive_metric=False, _slim_candidates=False,
+                    _traced_cap=False):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
@@ -198,6 +199,12 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     state = dict(
         key=key,
         eps=eps * jnp.ones((), dtype),
+        # traced per-transition depth cap (≤ static max_depth): binding it is
+        # EXACTLY equivalent to a max_depth=cap criterion — `done` stops new
+        # doublings; the statically-sized stacks/span checks are a superset
+        # whose extra rows simply stay unused. Used by the transient-gated
+        # warmup schedule (fused warmup; PERF.md "Warmup anatomy").
+        **({"cap": jnp.asarray(max_depth, jnp.int32)} if _traced_cap else {}),
         m_inv=(h.metric.m_inv if _adaptive_metric else jnp.zeros((), dtype)),
         # dense metric-in-state also carries the (frozen) Cholesky factor —
         # never updated in the loop, read only for boundary momentum draws
@@ -561,13 +568,14 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         diverged_new = st["diverged"] | (complete & s_diverged)
         done_new = (
             (complete & (sub_done | full_turn))
-            | (depth_new >= max_depth)
+            | (depth_new >= (st["cap"] if _traced_cap else max_depth))
         )
 
         sel = lambda p, a, b: jnp.where(p, a, b)
         out = dict(
             key=key,
             eps=st["eps"],
+            **({"cap": st["cap"]} if _traced_cap else {}),
             m_inv=st["m_inv"],
             chol_u=st["chol_u"],
             h0=st["h0"],
@@ -713,7 +721,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            out_dtype=None, batched: bool = False,
                            metric_batch=None, eps_batch=None,
                            stage_slots: int = 0, t_min=None,
-                           pack_carry: str = ""):
+                           pack_carry: str = "", depth_caps=None):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -816,6 +824,14 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     # (D,D) Cholesky per transition boundary inside the loop body — warmup-
     # phase only; the draw phase carries the metric frozen.
 
+    # per-transition tree-depth caps (traced; transient-gated warmup
+    # schedule): chain at local transition t runs with depth capped at
+    # depth_caps[t] (≤ the criterion's static max_depth)
+    traced_cap = depth_caps is not None
+    if traced_cap:
+        depth_caps = jnp.asarray(depth_caps, jnp.int32)
+        assert depth_caps.shape == (n_transitions,)
+
     def _core_state(k, z0_c, metric_c=None):
         h_c = h if metric_c is None else h.replace(metric=metric_c)
         k, k_ref0 = jax.random.split(k)
@@ -823,6 +839,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         return nuts_transition(
             k, h_c, traj, z_start, _return_machinery=True,
             _adaptive_metric=metric_in_state, _slim_candidates=slim,
+            _traced_cap=traced_cap,
         )
 
     if batched:
@@ -853,6 +870,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         state = dict(state, eps=jnp.asarray(eps_batch, dtype))
     if adaptive:
         state = dict(state, ad=adapt_state)
+    if traced_cap:
+        state = dict(state, cap=jnp.full_like(state["depth"], depth_caps[0]))
     edtype = jnp.result_type(jnp.zeros((), state["h0"].dtype))
     t_count = n_transitions
 
@@ -987,6 +1006,14 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
 
         t_new = jnp.where(boundary, t + 1, t)
         all_done = t_new >= t_count
+        if traced_cap:
+            # next transition's depth cap: masked-sum lookup (no per-chain
+            # dynamic gather — see the scatter/gather landmine in CLAUDE.md)
+            t_safe = jnp.minimum(t_new, t_count - 1)
+            cap_next = jnp.sum(
+                jnp.where(jnp.arange(t_count) == t_safe, depth_caps, 0)
+            ).astype(st2["cap"].dtype)
+            cap_next = jnp.where(boundary, cap_next, st2["cap"])
 
         # --- in-loop per-chain adaptation at the boundary (warmup mode) ---
         if adaptive:
@@ -1067,6 +1094,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         for k in inner_keys:
             if k == "key":
                 merged[k] = key2
+            elif k == "cap":
+                merged[k] = cap_next
             elif k == "eps":
                 merged[k] = jnp.where(reset, eps_next, st2["eps"])
             elif k == "ad":

@@ -448,7 +448,8 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
 
 
 def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
-                                  n_adapts: int, block: int, flags=None):
+                                  n_adapts: int, block: int, flags=None,
+                                  depth_caps=None):
     """Cross-chain warmup with `block` transitions fused per while-loop.
 
     Transitions inside a block run with the step size / metric FROZEN at the
@@ -464,6 +465,13 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
 
     Requires a non-nutpie mass-matrix estimator (grads are not recorded).
     Returns (state, warm_thetas (n_adapts, C, D), warm_stats).
+
+    `depth_caps` ((n_adapts,) int array, optional) sets a per-transition
+    tree-depth cap (transient-gated warmup: cap only the iterations right
+    after each Stan window reset, where the dual-averaging transient spawns
+    the deep-tree episodes that dominate warmup wall — PERF.md "Warmup
+    anatomy"). Runs inside the SAME fused program (traced cap), so there is
+    no per-segment compile/dispatch overhead.
     """
     cfg = spec.adaptor
     n_chains = state.z.theta.shape[0]
@@ -477,21 +485,30 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
     block_flags = jax.tree_util.tree_map(
         lambda a: a.reshape((n_blocks, block) + a.shape[1:]), flags
     )
+    if depth_caps is not None:
+        depth_caps = jnp.asarray(depth_caps, jnp.int32)
+        assert depth_caps.shape == (n_adapts,)
+        block_flags = dict(block_flags,
+                           depth_caps=depth_caps.reshape(n_blocks, block))
 
-    def one_chain(keys, metric, eps, z):
+    def one_chain(keys, metric, eps, z, caps_blk=None):
         h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
         integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
         traj = spec.kernel.trajectory.replace(integrator=integ)
         # metric/eps are shared within a block → batch-explicit fused loop
         # (no per-carry done-guard selects; see nuts_transitions_fused)
         return nuts_transitions_fused(
-            keys, h, traj, z, block, spec.kernel.refreshment, batched=True
+            keys, h, traj, z, block, spec.kernel.refreshment, batched=True,
+            depth_caps=caps_blk,
         )
 
     def outer(st, f_block):
+        caps_blk = f_block.pop("depth_caps", None) \
+            if isinstance(f_block, dict) else None
         key, k_step = jax.random.split(st.key)
         keys = jax.random.split(k_step, n_chains)
-        z_last, ths, stats = one_chain(keys, st.metric, st.adapt.da.eps, st.z)
+        z_last, ths, stats = one_chain(keys, st.metric, st.adapt.da.eps,
+                                       st.z, caps_blk)
         # (C, block, …) → (block, C, …)
         ths = jnp.swapaxes(ths, 0, 1)
         stats = {k: jnp.swapaxes(v, 0, 1) for k, v in stats.items()}

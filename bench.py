@@ -90,6 +90,14 @@ def main():
     # so capping depth for the first AHMC_BENCH_FW_SWITCH iterations trims
     # the dominant warmup cost. 0 = off.
     early_depth = int(os.environ.get("AHMC_BENCH_EARLY_DEPTH", 0))
+    # Transient-gated depth cap (per-transition traced cap inside ONE fused
+    # warmup program): cap only the first TCAP_INIT iterations and the
+    # TCAP_POST iterations after each Stan window reset — the DA-transient
+    # deep-tree episodes that dominate warmup wall — leaving the equilibrium
+    # phases (which set the final eps/metric) at full depth. 0 = off.
+    tcap = int(os.environ.get("AHMC_BENCH_TCAP", 0))
+    tcap_init = int(os.environ.get("AHMC_BENCH_TCAP_INIT", 40))
+    tcap_post = int(os.environ.get("AHMC_BENCH_TCAP_POST", 16))
 
     model = os.environ.get("AHMC_BENCH_MODEL", "logistic")
     if model == "gaussian":
@@ -124,11 +132,19 @@ def main():
     # Posterior moments at 0.6 match δ=0.8/0.9 to 4 decimals; divergence
     # rate 0. See PERF.md "Sampler-hyperparameter sweep".
     delta = float(os.environ.get("AHMC_BENCH_DELTA", 0.6))
+    # Stan window-schedule buffers (ref stan_adaptor.jl:105-115 defaults);
+    # short-warmup runs can shrink them so the metric still gets window
+    # refreshes (e.g. WARMUP=160 INIT_BUFFER=50 TERM_BUFFER=35).
     spec = SampleSpec(
         target=target,
         kernel=kernel,
-        adaptor=AdaptorConfig(kind="stan",
-                              da=DualAveragingConfig(delta=delta)),
+        adaptor=AdaptorConfig(
+            kind="stan",
+            da=DualAveragingConfig(delta=delta),
+            init_buffer=int(os.environ.get("AHMC_BENCH_INIT_BUFFER", 75)),
+            term_buffer=int(os.environ.get("AHMC_BENCH_TERM_BUFFER", 50)),
+            window_size=int(os.environ.get("AHMC_BENCH_WINDOW_SIZE", 25)),
+        ),
         cross_chain=True,
     )
 
@@ -165,6 +181,20 @@ def main():
               file=sys.stderr)
 
     flags_all = adapt_flags(spec.adaptor, n_warmup, n_warmup + n_draws)
+    if tcap and tcap < max_depth:
+        from advancedhmc_tpu.adaptation import transient_depth_caps
+
+        caps_warm = transient_depth_caps(
+            n_warmup, max_depth, tcap, tcap_init, tcap_post,
+            spec.adaptor.init_buffer, spec.adaptor.term_buffer,
+            spec.adaptor.window_size,
+        )
+        caps_all = np.full(n_warmup + n_draws, max_depth, np.int32)
+        caps_all[:n_warmup] = caps_warm
+        flags_all = dict(flags_all, depth_caps=caps_all)
+        print(f"# transient depth cap {tcap}: "
+              f"{int((caps_warm < max_depth).sum())}/{n_warmup} warmup "
+              f"iterations capped", file=sys.stderr)
 
     def chunk_flags(start, size):
         return jax.tree_util.tree_map(lambda a: a[start:start + size], flags_all)
@@ -250,9 +280,11 @@ def main():
 
         @functools.partial(jax.jit, static_argnums=(2, 3))
         def run_warm_chunk(state, fl, block, early=False):
+            fl = dict(fl)
+            caps = fl.pop("depth_caps", None)
             st, _, wstats = fused_warmup_phase_crosschain(
                 spec_early if early else spec, state,
-                fl["is_adapt"].shape[0], block, flags=fl
+                fl["is_adapt"].shape[0], block, flags=fl, depth_caps=caps
             )
             return st, jnp.sum(wstats["n_steps"])
 

@@ -174,6 +174,90 @@ def test_warmup_cap_frac2_validation():
              warmup_eps_research=True, warmup_cap_frac2=1.0)
 
 
+def test_transient_depth_caps_schedule():
+    # caps cover the init ramp and post-reset transients, full depth
+    # elsewhere; window resets from the Stan schedule
+    from advancedhmc_tpu.adaptation import transient_depth_caps
+    from advancedhmc_tpu.adaptation.stan import stan_schedule
+
+    caps = transient_depth_caps(256, 6, 3, init_len=40, post_len=16)
+    assert caps.shape == (256,)
+    assert (caps[:40] == 3).all()
+    _, w_end = stan_schedule(256)
+    resets = np.nonzero(w_end)[0]
+    assert len(resets) >= 1
+    for r in resets:
+        assert (caps[r + 1: r + 1 + 16] == 3).all()
+    # equilibrium region between transients stays at full depth
+    mid = resets[0] - 5
+    assert caps[mid] == 6
+
+
+def test_warmup_transient_cap_noop_when_at_max_depth():
+    # an all-max_depth caps array must reproduce the uncapped run exactly
+    # (the traced cap only feeds the done predicate)
+    from advancedhmc_tpu.adaptation import adapt_flags
+    from advancedhmc_tpu.sampler import (
+        SampleSpec, fused_warmup_phase_crosschain, init_state,
+    )
+
+    target = std_gaussian(DIM)
+    kernel = HMCKernel(
+        Trajectory(
+            Leapfrog(step_size=jnp.asarray(0.3, jnp.float64)),
+            GeneralisedNoUTurn(max_depth=5),
+            "multinomial",
+        )
+    )
+    theta0 = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), (16, DIM), jnp.float64
+    )
+    spec = SampleSpec(target=target, kernel=kernel,
+                      adaptor=AdaptorConfig(kind="stan"), cross_chain=True)
+    st0 = init_state(jax.random.PRNGKey(5), spec,
+                     make_metric("diagonal", DIM, dtype=jnp.float64),
+                     theta0, init_eps=0.3)
+    sA, thA, stA = fused_warmup_phase_crosschain(spec, st0, 64, 8)
+    caps = np.full(64, 5, np.int32)
+    sB, thB, stB = fused_warmup_phase_crosschain(spec, st0, 64, 8,
+                                                 depth_caps=caps)
+    np.testing.assert_array_equal(np.asarray(thA), np.asarray(thB))
+    for k in stA:
+        np.testing.assert_array_equal(np.asarray(stA[k]),
+                                      np.asarray(stB[k]), err_msg=k)
+
+
+def test_warmup_transient_cap_binds_only_where_scheduled():
+    from advancedhmc_tpu.sampler import (
+        SampleSpec, fused_warmup_phase_crosschain, init_state,
+    )
+
+    target = std_gaussian(DIM)
+    kernel = HMCKernel(
+        Trajectory(
+            Leapfrog(step_size=jnp.asarray(0.05, jnp.float64)),
+            GeneralisedNoUTurn(max_depth=6),
+            "multinomial",
+        )
+    )
+    theta0 = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), (32, DIM), jnp.float64
+    )
+    spec = SampleSpec(target=target, kernel=kernel,
+                      adaptor=AdaptorConfig(kind="stan"), cross_chain=True)
+    st0 = init_state(jax.random.PRNGKey(5), spec,
+                     make_metric("diagonal", DIM, dtype=jnp.float64),
+                     theta0, init_eps=0.05)  # tiny eps → deep trees
+    caps = np.full(96, 6, np.int32)
+    caps[:32] = 2
+    _, _, stats = fused_warmup_phase_crosschain(spec, st0, 96, 8,
+                                                depth_caps=caps)
+    depth = np.asarray(stats["tree_depth"])      # (96, C)
+    assert depth[:32].max() <= 2, depth[:32].max()
+    # with eps this small the uncapped region must exceed the cap
+    assert depth[32:].max() > 2
+
+
 def test_warmup_depth_cap_scan():
     out = _run(False, drop_warmup=True, warmup_depth_cap=2,
                warmup_cap_frac=0.5)
