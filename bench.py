@@ -140,7 +140,14 @@ def main():
         kernel=kernel,
         adaptor=AdaptorConfig(
             kind="stan",
-            da=DualAveragingConfig(delta=delta),
+            # kappa < 0.75 weights LATE iterates more in the finalize average
+            # exp(x̄): short warmups otherwise finalize eps off the endpoint
+            # equilibrium (the x̄ average still carries the descent; measured
+            # accept drift +0.04..+0.14 at 128-160-iter warmups)
+            da=DualAveragingConfig(
+                delta=delta,
+                kappa=float(os.environ.get("AHMC_BENCH_DA_KAPPA", 0.75)),
+            ),
             init_buffer=int(os.environ.get("AHMC_BENCH_INIT_BUFFER", 75)),
             term_buffer=int(os.environ.get("AHMC_BENCH_TERM_BUFFER", 50)),
             window_size=int(os.environ.get("AHMC_BENCH_WINDOW_SIZE", 25)),
