@@ -667,7 +667,7 @@ def _packed_while_loop(cond_key, vbody, fstate, layout):
     n_alpha ≤ 2^max_depth, t ≤ n_transitions, v = ±1) are exact in f32.
     """
     leaves, treedef = jax.tree_util.tree_flatten(fstate)
-    n_chains = fstate["all_done"].shape[0]
+    n_chains = fstate[cond_key].shape[0]
     packable = [
         i for i, l in enumerate(leaves)
         if l.ndim == 1 and l.shape[0] == n_chains
@@ -681,7 +681,7 @@ def _packed_while_loop(cond_key, vbody, fstate, layout):
         "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         for path, _ in jax.tree_util.tree_flatten_with_path(fstate)[0]
     ]
-    done_col = packable.index(flat_keys.index("all_done"))
+    done_col = packable.index(flat_keys.index(cond_key))
 
     def pack(leaves):
         cols = [leaves[i].astype(jnp.float32) for i in packable]
@@ -831,6 +831,12 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     if traced_cap:
         depth_caps = jnp.asarray(depth_caps, jnp.int32)
         assert depth_caps.shape == (n_transitions,)
+        # Clamp to the criterion's static max_depth: the checkpoint stacks
+        # are sized for max_depth-1 rows, so a larger traced cap would let
+        # the doubling loop run past the stacks (writes clamp at the top
+        # slot, silently corrupting the U-turn check set).
+        depth_caps = jnp.minimum(
+            depth_caps, jnp.int32(int(traj.criterion.max_depth)))
 
     def _core_state(k, z0_c, metric_c=None):
         h_c = h if metric_c is None else h.replace(metric=metric_c)
@@ -885,6 +891,16 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
     use_staged = bool(batched and unroll == 1 and stage_slots
                       and 0 < stage_slots < t_count)
     ragged = t_min is not None and int(t_min) < t_count
+    if pack_carry:
+        if use_staged or t_min is not None:
+            raise ValueError(
+                "pack_carry cannot be combined with stage_slots or t_min: "
+                "the staged/ragged loop layouts would silently take "
+                "precedence and the packed path would never run")
+        if t_count >= 2 ** 24:
+            raise ValueError(
+                "pack_carry packs int32 counters into f32 columns, exact "
+                f"only below 2**24; n_transitions={t_count} violates that")
     if t_min is not None:
         assert batched and unroll == 1 and not use_staged, (
             "variable-draws mode requires the batch-explicit single-loop "

@@ -30,12 +30,20 @@ def distributed_init(**kwargs):
 
     Thin wrapper over `jax.distributed.initialize` — the multi-host entry for
     pod-slice chain parallelism (SURVEY.md §2.3). No-ops if already
-    initialised.
+    initialised; any OTHER failure (bad coordinator address, timeout,
+    version mismatch, ...) is re-raised rather than swallowed — a silently
+    missing coordination service would otherwise surface much later as a
+    confusing single-host mesh error.
     """
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialised
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialised
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def mesh_of_all_devices(n_devices: Optional[int] = None, axis_name: str = CHAIN_AXIS) -> Mesh:

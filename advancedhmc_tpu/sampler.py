@@ -1127,6 +1127,12 @@ def sample(
         else:
             n_cap2 = n_cap
     else:
+        if warmup_cap_frac2 is not None:
+            raise ValueError(
+                "warmup_cap_frac2 requires an active depth-capped warmup "
+                "(warmup_depth_cap < max_depth with cross-chain dynamic "
+                "adaptation); without it the 3-phase schedule would be "
+                "silently ignored")
         n_cap = n_cap2 = 0
         _spec_capped = spec
 

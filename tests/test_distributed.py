@@ -73,3 +73,57 @@ def test_two_process_matches_single_process(tmp_path):
     assert golden["eps"] > 0
     draws = golden["thetas"][30:].reshape(-1, golden["thetas"].shape[-1])
     assert np.linalg.norm(draws.mean(axis=0)) < 0.8
+
+
+def test_four_process_matches_single_process(tmp_path):
+    # 4 procs × 2 devices varies the cross-process reduction associativity
+    # relative to the 2×4 case — same golden run must still be reproduced.
+    golden = _run_topology(1, tmp_path, "g4")
+    multi = _run_topology(4, tmp_path, "p4")
+    np.testing.assert_allclose(multi["eps"], golden["eps"], rtol=1e-9)
+    np.testing.assert_allclose(multi["m_inv"], golden["m_inv"], rtol=1e-9)
+    np.testing.assert_allclose(multi["thetas"], golden["thetas"],
+                               rtol=1e-7, atol=1e-9)
+    assert multi["total_steps"] == golden["total_steps"]
+
+
+def test_distributed_init_reraises_real_failures(monkeypatch):
+    # A genuine coordination failure must raise, not be silently swallowed
+    # (the old blanket `except RuntimeError: pass`); only the
+    # already-initialised case no-ops. (A real bad-coordinator connect
+    # FATALs the whole process inside the C++ coordination client, so the
+    # wrapper's error routing is unit-tested via monkeypatch.)
+    import types
+
+    import jax
+    import pytest
+
+    from advancedhmc_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+
+    def fake_initialize(**kwargs):
+        calls.append(kwargs)
+        raise RuntimeError("Unable to connect to coordinator at "
+                           "localhost:1: Deadline Exceeded")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        mesh_mod.distributed_init(coordinator_address="localhost:1",
+                                  num_processes=2, process_id=1)
+    assert len(calls) == 1
+
+    # the already-initialised RuntimeError is still a no-op
+    def fake_initialize_dup(**kwargs):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize_dup)
+    mesh_mod.distributed_init()  # must not raise
+
+    # an active client short-circuits before touching initialize
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setattr(jax._src.distributed, "global_state",
+                        types.SimpleNamespace(client=object()))
+    calls.clear()
+    mesh_mod.distributed_init()
+    assert calls == []

@@ -172,6 +172,10 @@ def test_warmup_cap_frac2_validation():
         _run(True, fuse_warmup_block=8, drop_warmup=True,
              warmup_depth_cap=2, warmup_cap_frac=0.5,
              warmup_eps_research=True, warmup_cap_frac2=1.0)
+    # cap_frac2 with no active depth cap must raise, not be silently ignored
+    with pytest.raises(ValueError, match="requires an active depth-capped"):
+        _run(True, fuse_warmup_block=8, drop_warmup=True,
+             warmup_cap_frac2=0.75)
 
 
 def test_transient_depth_caps_schedule():
@@ -225,6 +229,16 @@ def test_warmup_transient_cap_noop_when_at_max_depth():
     for k in stA:
         np.testing.assert_array_equal(np.asarray(stA[k]),
                                       np.asarray(stB[k]), err_msg=k)
+    # caps LARGER than the criterion's static max_depth must be clamped to
+    # it (the checkpoint stacks are sized for max_depth-1 rows; an
+    # unclamped cap would overrun them and corrupt the U-turn check set)
+    caps_big = np.full(64, 9, np.int32)
+    sC, thC, stC = fused_warmup_phase_crosschain(spec, st0, 64, 8,
+                                                 depth_caps=caps_big)
+    np.testing.assert_array_equal(np.asarray(thA), np.asarray(thC))
+    for k in stA:
+        np.testing.assert_array_equal(np.asarray(stA[k]),
+                                      np.asarray(stC[k]), err_msg=k)
 
 
 def test_warmup_transient_cap_binds_only_where_scheduled():

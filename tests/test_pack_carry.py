@@ -84,3 +84,15 @@ def test_packed_carry_bitexact_per_chain_metric():
     np.testing.assert_array_equal(
         np.asarray(st0.z.theta), np.asarray(st1.z.theta)
     )
+
+
+def test_packed_carry_conflicting_knobs_raise():
+    # pack_carry used to be silently ignored when the staged or ragged loop
+    # layout was also requested (dispatch order staged > ragged > packed);
+    # now the conflict is an explicit error.
+    import pytest
+
+    spec, state = _state_and_spec(cross_chain=True)
+    with pytest.raises(ValueError, match="pack_carry"):
+        fused_draw_phase(spec, state, 2 * FUSE, FUSE,
+                         pack_carry="fc", stage_slots=2)
