@@ -103,6 +103,52 @@ def chees_transition(key, target, metric, eps, tau, max_steps,
     return (theta_new, lp_new, grad_new), (theta1, v_prop, alpha), stats
 
 
+def make_chees_step(target, cfg: AdaptorConfig, chees: CheesConfig,
+                    max_steps: int):
+    """Build the per-iteration scan step shared by `sample_chees` and
+    chunked drivers (bench.py runs the same step in host-synced chunks to
+    respect the TPU tunnel's per-execution limit).
+
+    carry = (theta, lp, grad, metric, AdaptState, CheesState, key);
+    xs = (flags_slice, u) with u the Halton jitter for the iteration.
+    """
+
+    def step(carry, xs):
+        theta, lp, grad, metric_c, adapt, cs, k = carry
+        f, u = xs
+        k, k_tr = jax.random.split(k)
+        is_adapt = f["is_adapt"]
+        # post-warmup uses the finalized (iterate-averaged) T
+        t_mean = jnp.where(is_adapt, cs.trajectory_length,
+                           jnp.exp(cs.log_t_avg))
+        tau = u * t_mean
+        (theta_n, lp_n, grad_n), (theta_p, v_p, alpha), stats = (
+            chees_transition(k_tr, target, metric_c, adapt.da.eps, tau,
+                             max_steps, theta, lp, grad)
+        )
+        # trajectory-length SGA (warmup only)
+        cs_new = chees_update(chees, cs, theta, theta_p, v_p, alpha, tau)
+        cs = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(is_adapt, a, b), cs_new, cs
+        )
+        # step size + mass matrix (cross-chain, Stan windows)
+        adapt_new = adapt_step_batch(cfg, adapt, theta_n, grad_n, alpha, f)
+        metric_new = metric_c
+        if cfg.uses_mm:
+            renewed = metric_c.renew(adapt_new.mm.m_inv)
+            metric_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is_adapt, a, b), renewed, metric_c
+            )
+        stats = dict(stats)
+        stats["is_adapt"] = jnp.broadcast_to(is_adapt, alpha.shape)
+        stats["nom_step_size"] = stats["step_size"]
+        return (theta_n, lp_n, grad_n, metric_new, adapt_new, cs, k), (
+            theta_n, stats
+        )
+
+    return step
+
+
 def sample_chees(
     key,
     target: LogDensityTarget,
@@ -150,38 +196,7 @@ def sample_chees(
     flags = adapt_flags(cfg, n_adapts, n_samples)
     u_all = jnp.asarray(halton_sequence(n_samples), dtype)
 
-    def step(carry, xs):
-        theta, lp, grad, metric_c, adapt, cs, k = carry
-        f, u = xs
-        k, k_tr = jax.random.split(k)
-        is_adapt = f["is_adapt"]
-        # post-warmup uses the finalized (iterate-averaged) T
-        t_mean = jnp.where(is_adapt, cs.trajectory_length,
-                           jnp.exp(cs.log_t_avg))
-        tau = u * t_mean
-        (theta_n, lp_n, grad_n), (theta_p, v_p, alpha), stats = (
-            chees_transition(k_tr, target, metric_c, adapt.da.eps, tau,
-                             max_steps, theta, lp, grad)
-        )
-        # trajectory-length SGA (warmup only)
-        cs_new = chees_update(chees, cs, theta, theta_p, v_p, alpha, tau)
-        cs = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(is_adapt, a, b), cs_new, cs
-        )
-        # step size + mass matrix (cross-chain, Stan windows)
-        adapt_new = adapt_step_batch(cfg, adapt, theta_n, grad_n, alpha, f)
-        metric_new = metric_c
-        if cfg.uses_mm:
-            renewed = metric_c.renew(adapt_new.mm.m_inv)
-            metric_new = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(is_adapt, a, b), renewed, metric_c
-            )
-        stats = dict(stats)
-        stats["is_adapt"] = jnp.broadcast_to(is_adapt, alpha.shape)
-        stats["nom_step_size"] = stats["step_size"]
-        return (theta_n, lp_n, grad_n, metric_new, adapt_new, cs, k), (
-            theta_n, stats
-        )
+    step = make_chees_step(target, cfg, chees, max_steps)
 
     carry0 = (theta, lp, grad, metric, adapt, cheesst, key)
     carry, (thetas, stats) = jax.lax.scan(step, carry0, (flags, u_all))

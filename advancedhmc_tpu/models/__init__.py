@@ -8,7 +8,8 @@ from .funnel import neal_funnel
 from .banana import banana
 from .eight_schools import eight_schools
 from .gdemo import GDEMO_MEAN, gdemo
-from .logistic import german_credit_logistic, hierarchical_logistic
+from .logistic import (german_credit_logistic, hierarchical_logistic,
+                       hierarchical_logistic_nc)
 from .mixtures import gaussian_mixture, two_gaussian_mixtures_2d
 from .spiral import spiral
 
@@ -22,6 +23,7 @@ __all__ = [
     "eight_schools",
     "GDEMO_MEAN",
     "hierarchical_logistic",
+    "hierarchical_logistic_nc",
     "german_credit_logistic",
     "gaussian_mixture",
     "two_gaussian_mixtures_2d",

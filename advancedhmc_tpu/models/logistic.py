@@ -134,6 +134,50 @@ def hierarchical_logistic(
     return LogDensityTarget(logdensity, dim, vg)
 
 
+def hierarchical_logistic_nc(
+    n: int = 1000, p: int = 24, seed: int = 0, dtype=jnp.float32,
+) -> LogDensityTarget:
+    """Non-centered reparameterization of `hierarchical_logistic`.
+
+    Same posterior, same data: θ = (log σ, β̃) with β = σ·β̃, β̃ ~ N(0, I),
+    log σ ~ N(0, 1). The centered hierarchy's funnel coupling between log σ
+    and β (the bench's worst-mixing direction — PERF.md min-dim ESS) moves
+    into the likelihood, where the data usually tames it. The log σ marginal
+    is identical to the centered model's, so posterior-moment gates carry
+    over; β moments are recovered as σ·β̃ per draw.
+    """
+    x_np, y_np = _synthetic_data(n, p, seed)
+    x = jnp.asarray(x_np, dtype)
+    y = jnp.asarray(y_np, dtype)
+    dim = p + 1
+
+    def logdensity(theta):
+        log_sigma = theta[0]
+        beta_t = theta[1:]
+        logits = jnp.exp(log_sigma) * (x @ beta_t)
+        lp = -0.5 * jnp.square(log_sigma) - 0.5 * jnp.sum(jnp.square(beta_t))
+        return lp + jnp.sum(y * logits - jnp.logaddexp(0.0, logits))
+
+    def logdensity_and_grad(theta):
+        import jax as _jax
+
+        log_sigma = theta[0]
+        beta_t = theta[1:]
+        s = jnp.exp(log_sigma)
+        u = x @ beta_t
+        logits = s * u
+        lp = (-0.5 * jnp.square(log_sigma)
+              - 0.5 * jnp.sum(jnp.square(beta_t))
+              + jnp.sum(y * logits - jnp.logaddexp(0.0, logits)))
+        resid = y - _jax.nn.sigmoid(logits)
+        # ∂logits/∂log σ = logits; ∂logits/∂β̃ = σ·x
+        grad_ls = -log_sigma + jnp.sum(resid * logits)
+        grad_bt = s * (resid @ x) - beta_t
+        return lp, jnp.concatenate([grad_ls[None], grad_bt])
+
+    return LogDensityTarget(logdensity, dim, logdensity_and_grad)
+
+
 def german_credit_logistic(dtype=jnp.float32) -> LogDensityTarget:
     """German-credit-shaped hierarchical logistic regression (synthetic data,
     1000 rows × 24 features → 25 parameters)."""

@@ -104,6 +104,21 @@ def main():
         from advancedhmc_tpu.models import std_gaussian
 
         target = std_gaussian(dim)
+    elif model == "funnel":
+        # VALIDATION.md config 3 shape: pair with AHMC_BENCH_DELTA=0.95
+        # (the neck is under-explored below that)
+        from advancedhmc_tpu.models import neal_funnel
+
+        target = neal_funnel(dim)
+    elif model == "logistic_nc":
+        # non-centered reparameterization of the default hierarchy: same
+        # posterior (log σ marginal identical); draws are transformed back
+        # to the centered (log σ, β = σ·β̃) coordinates before ESS/moments
+        # so every reported number is directly comparable to `logistic`.
+        from advancedhmc_tpu.models import hierarchical_logistic_nc
+
+        target = hierarchical_logistic_nc(n=1000, p=dim - 1,
+                                          dtype=jnp.float32)
     else:
         target = hierarchical_logistic(
             n=1000, p=dim - 1, dtype=jnp.float32,
@@ -332,16 +347,14 @@ def main():
             return find_good_stepsize(k_eps2, h_now, state.z.theta[0])
 
         cap_end = fw_switch2 if fw_switch2 > fw_switch else fw_switch
+
+        # Precompute the (pos, size, block, early) dispatch schedule so the
+        # compile + first-execution program-load cost can be paid OUTSIDE
+        # the timed window (same methodology as the draws phase below).
+        schedule = []
         pos = 0
         while pos < n_warmup:
             early = bool(early_depth) and pos < cap_end
-            if (eps_research and early_depth and pos == fw_switch
-                    and pos > 0):
-                eps_new = research_eps(state) * eps_rescale
-                state = state.replace(adapt=state.adapt.replace(
-                    da=DualAveragingState.init(eps_new)))
-                print(f"# re-anchored eps at switch: {float(eps_new):.4f}",
-                      file=sys.stderr)
             block = (fuse_warmup_late
                      if fuse_warmup_late > 1 and pos >= fw_switch
                      else fuse_warmup)
@@ -367,17 +380,52 @@ def main():
                 # boundary not block-aligned: overrun it by one block rather
                 # than stall (n_warmup % block == 0 guarantees headroom)
                 size = block
-            state, wlf = run_warm_chunk(state, chunk_flags(pos, size), block,
-                                        early)
+            schedule.append((pos, size, block, early))
+            pos += size
+
+        # Throwaway executions: one per distinct compiled program. Warmup
+        # wall used to jitter ±0.8 s run-to-run purely from program-load /
+        # data-upload over the tunnel on the FIRST execution (PERF.md);
+        # paying it here makes warmup_s an execution measurement with the
+        # same semantics as sampling_s. Results are discarded — the timed
+        # loop below restarts from `state`.
+        if os.environ.get("AHMC_BENCH_WARM_THROWAWAY", "1") == "1":
+            seen = set()
+            for pos0, size, block, early in schedule:
+                sig = (size, block, early)
+                if sig in seen:
+                    continue
+                seen.add(sig)
+                jax.block_until_ready(run_warm_chunk(
+                    state, chunk_flags(pos0, size), block, early))
+            if eps_research and early_depth:
+                jax.block_until_ready(research_eps(state))
+            warm_load_s = time.time() - t0
+            print(f"# warmup programs loaded ({warm_load_s:.1f}s)",
+                  file=sys.stderr)
+        else:
+            warm_load_s = 0.0
+
+        t0 = time.time()
+        for pos0, size, block, early in schedule:
+            if (eps_research and early_depth and pos0 == fw_switch
+                    and pos0 > 0):
+                eps_new = research_eps(state) * eps_rescale
+                state = state.replace(adapt=state.adapt.replace(
+                    da=DualAveragingState.init(eps_new)))
+                print(f"# re-anchored eps at switch: {float(eps_new):.4f}",
+                      file=sys.stderr)
+            state, wlf = run_warm_chunk(state, chunk_flags(pos0, size),
+                                        block, early)
             jax.block_until_ready(state.z.theta)
             warm_leapfrogs += float(wlf)
             eps_now = float(jnp.mean(state.adapt.da.eps))
-            print(f"# fused warmup {pos}/{n_warmup} block={block} "
+            print(f"# fused warmup {pos0}/{n_warmup} block={block} "
                   f"eps={eps_now:.4f} leapfrogs={warm_leapfrogs:.3g} "
-                  f"({time.time()-t0:.0f}s)",
+                  f"({time.time()-t0:.1f}s)",
                   file=sys.stderr)
-            pos += size
     else:
+        warm_load_s = 0.0
         for start in range(0, n_warmup, chunk):
             state, _ = run_chunk(state, chunk_flags(start, chunk))
             jax.block_until_ready(state.z.theta)
@@ -450,6 +498,9 @@ def main():
         off = np.zeros(sub, np.int64)
         for th, cnt in zip(thetas_chunks, cnts):
             th = np.asarray(th)
+            if model == "logistic_nc":
+                th = np.concatenate(
+                    [th[..., :1], th[..., 1:] * np.exp(th[..., :1])], -1)
             tk = th.shape[1]
             valid = np.arange(tk)[None, :] < cnt[:, None]    # (C, tk)
             s_ls += float((th[:, :, 0] * valid).sum(dtype=np.float64))
@@ -477,6 +528,12 @@ def main():
     else:
         thetas_np = np.concatenate([np.asarray(t) for t in thetas_chunks],
                                    axis=0)
+        if model == "logistic_nc":
+            # back to centered user coordinates (β = σ·β̃) so ESS/moments are
+            # comparable with the `logistic` runs
+            thetas_np = np.concatenate(
+                [thetas_np[..., :1],
+                 thetas_np[..., 1:] * np.exp(thetas_np[..., :1])], -1)
         n_transitions_total = n_draws * n_chains
         div_rate = (sum(float(np.asarray(d)) for d in div_chunks)
                     / n_transitions_total if div_chunks else float("nan"))
@@ -525,6 +582,139 @@ def main():
     ess_per_s = ess_total / t_draw / n_devices
     lf_per_s = total_leapfrogs / t_draw / n_devices
 
+    # --- supplementary ChEES-HMC measurement (same target, fresh run) ---
+    # ChEES (Hoffman/Radul/Sountsov 2021) runs a SHARED jittered trajectory
+    # length across all chains: zero lane divergence, no tree bookkeeping —
+    # it sidesteps the 75%-of-leaf bookkeeping cost of the NUTS loop
+    # (PERF.md hlo_stats). Reported as chees_* extras; the headline metric
+    # stays NUTS (driver contract). AHMC_BENCH_CHEES=0 disables;
+    # AHMC_BENCH_SAMPLER=chees forces it on.
+    chees_on = (os.environ.get("AHMC_BENCH_CHEES", "1") == "1"
+                or os.environ.get("AHMC_BENCH_SAMPLER") == "chees")
+    chees_extras = {}
+    if chees_on:
+        from advancedhmc_tpu import Hamiltonian
+        from advancedhmc_tpu.adaptation import AdaptState
+        from advancedhmc_tpu.adaptation.chees import (
+            CheesConfig,
+            CheesState,
+            halton_sequence,
+        )
+        from advancedhmc_tpu.chees import make_chees_step
+        from advancedhmc_tpu.metrics import DiagEuclideanMetric
+        from advancedhmc_tpu.stepsize_search import find_good_stepsize
+
+        # 0.651 = optimal acceptance for jittered HMC per the ChEES paper
+        delta_c = float(os.environ.get("AHMC_BENCH_CHEES_DELTA", 0.651))
+        n_warm_c = int(os.environ.get("AHMC_BENCH_CHEES_WARMUP", n_warmup))
+        n_draws_c = int(os.environ.get("AHMC_BENCH_CHEES_DRAWS", n_draws))
+        max_steps_c = int(os.environ.get("AHMC_BENCH_CHEES_MAX_STEPS",
+                                         2 ** max_depth))
+        cfg_c = AdaptorConfig(
+            kind="stan", mm_kind="welford_var",
+            da=DualAveragingConfig(delta=delta_c),
+            init_buffer=spec.adaptor.init_buffer,
+            term_buffer=spec.adaptor.term_buffer,
+            window_size=spec.adaptor.window_size,
+        )
+        if mm_init == "gradient":
+            _, grads0 = jax.jit(jax.vmap(target.logdensity_and_grad))(theta0)
+            g0 = jnp.mean(jnp.abs(grads0), axis=0)
+            m_inv0 = 1.0 / jnp.clip(g0, 1e-3, 1e6)
+            metric_c = DiagEuclideanMetric(m_inv=m_inv0,
+                                           sqrt_m_inv=jnp.sqrt(m_inv0))
+        else:
+            metric_c = make_metric("diagonal", dim)
+        kc = jax.random.PRNGKey(3)
+        kc, k_eps_c = jax.random.split(kc)
+        h_c = Hamiltonian(metric=metric_c, target=target)
+        eps0_c = jax.jit(find_good_stepsize)(k_eps_c, h_c, theta0[0])
+        lp0, grad0 = jax.jit(jax.vmap(target.logdensity_and_grad))(theta0)
+        lp0 = jnp.where(jnp.isfinite(lp0), lp0, -jnp.inf)
+        adapt0 = AdaptState.init(cfg_c, dim, eps0_c, jnp.float32)
+        cs0 = CheesState.init(
+            float(os.environ.get("AHMC_BENCH_CHEES_T0", 1.0)), jnp.float32)
+        n_total_c = n_warm_c + n_draws_c
+        flags_c = adapt_flags(cfg_c, n_warm_c, n_total_c)
+        u_all = jnp.asarray(halton_sequence(n_total_c), jnp.float32)
+        step_c = make_chees_step(target, cfg_c, CheesConfig(), max_steps_c)
+
+        def slice_c(s, e):
+            return (jax.tree_util.tree_map(lambda a: a[s:e], flags_c),
+                    u_all[s:e])
+
+        @jax.jit
+        def run_cc(carry, fl, u):
+            carry, (ths, st) = jax.lax.scan(step_c, carry, (fl, u))
+            return carry, (ths,
+                           jnp.sum(st["n_steps"]),
+                           jnp.sum(st["numerical_error"]),
+                           jnp.mean(st["acceptance_rate"]),
+                           jnp.mean(st["trajectory_length"]))
+
+        cw = min(chunk, n_warm_c)
+        if n_warm_c % cw:
+            cw = n_warm_c
+        cd = min(chunk, n_draws_c)
+        if n_draws_c % cd:
+            cd = n_draws_c
+        carry = (theta0, lp0, grad0, metric_c, adapt0, cs0, kc)
+        # program-load throwaways (same methodology as the NUTS phases)
+        jax.block_until_ready(run_cc(carry, *slice_c(0, cw)))
+        if cd != cw:
+            jax.block_until_ready(run_cc(carry, *slice_c(0, cd)))
+
+        t0c = time.time()
+        for s in range(0, n_warm_c, cw):
+            carry, _ = run_cc(carry, *slice_c(s, s + cw))
+            jax.block_until_ready(carry[0])
+        chees_warm_s = time.time() - t0c
+        th_cs, accs_c, taus_c = [], [], []
+        lfs_c = divs_c = 0.0
+        t0c = time.time()
+        for s in range(n_warm_c, n_total_c, cd):
+            carry, (ths, ns, nd, am, tm) = run_cc(carry, *slice_c(s, s + cd))
+            th_cs.append(ths)
+            lfs_c += float(ns)
+            divs_c += float(nd)
+            accs_c.append(float(am))
+            taus_c.append(float(tm))
+        jax.block_until_ready(th_cs[-1])
+        chees_draw_s = time.time() - t0c
+
+        th_c_np = np.concatenate([np.asarray(t) for t in th_cs], 0)
+        if model == "logistic_nc":
+            th_c_np = np.concatenate(
+                [th_c_np[..., :1],
+                 th_c_np[..., 1:] * np.exp(th_c_np[..., :1])], -1)
+        ess_c = np.asarray(effective_sample_size(
+            jnp.asarray(th_c_np[:, :max_ess_chains, :])))
+        scale_c = n_chains / max_ess_chains
+        chees_extras = {
+            "chees_ess_per_s": round(
+                float(np.median(ess_c)) * scale_c / chees_draw_s / n_devices,
+                2),
+            "chees_min_ess_per_s": round(
+                float(np.min(ess_c)) * scale_c / chees_draw_s / n_devices, 2),
+            "chees_median_pooled_ess": round(float(np.median(ess_c)), 1),
+            "chees_leapfrog_steps_per_s": round(
+                lfs_c / chees_draw_s / n_devices, 1),
+            "chees_warmup_s": round(chees_warm_s, 2),
+            "chees_sampling_s": round(chees_draw_s, 2),
+            "chees_accept": round(float(np.mean(accs_c)), 4),
+            "chees_divergence_rate": round(
+                divs_c / (n_draws_c * n_chains), 6),
+            "chees_mean_traj_len": round(float(np.mean(taus_c)), 4),
+            "chees_mean_logsigma": round(float(th_c_np[:, :, 0].mean()), 5),
+            "chees_sd_logsigma": round(float(th_c_np[:, :, 0].std()), 5),
+            "chees_mean_beta_norm": round(float(np.linalg.norm(
+                th_c_np[:, :, 1:].mean((0, 1)))), 5),
+        }
+        print(f"# chees: warmup {chees_warm_s:.2f}s draws {chees_draw_s:.2f}s"
+              f" accept {chees_extras['chees_accept']}"
+              f" ess/s {chees_extras['chees_ess_per_s']:.3g}",
+              file=sys.stderr)
+
     result = {
         "metric": "effective_samples_per_s_per_chip",
         "value": round(ess_per_s, 2),
@@ -533,7 +723,12 @@ def main():
         "leapfrog_steps_per_s": round(lf_per_s, 1),
         "n_chains": n_chains,
         "n_draws": n_draws,
+        # warmup_s is EXECUTION wall (program-load/compile paid beforehand
+        # via throwaway runs, reported as warmup_load_s) — same methodology
+        # as sampling_s; pre-throwaway runs jittered ±0.8 s from tunnel
+        # program-load on a ~3 s quantity (PERF.md).
         "warmup_s": round(t_warm, 2),
+        "warmup_load_s": round(warm_load_s, 2),
         "sampling_s": round(t_draw, 2),
         "median_pooled_ess": round(float(np.median(ess)), 1),
         "min_pooled_ess": round(float(np.min(ess)), 1),
@@ -554,6 +749,7 @@ def main():
         "n_devices": n_devices,
         "ess_per_s_total": round(ess_total / t_draw, 2),
         **extras,
+        **chees_extras,
     }
     print(json.dumps(result))
 

@@ -203,3 +203,34 @@ def test_hierarchical_logistic_analytic_grad():
     rel = np.max(np.abs(np.asarray(g_c) - np.asarray(g_a))
                  / (1.0 + np.abs(np.asarray(g_a))))
     assert rel < 0.05, rel
+
+
+def test_hierarchical_logistic_nc_matches_centered():
+    # analytic grad == autodiff, and the non-centered density equals the
+    # centered one under the change of variables beta = sigma * beta_t
+    # (Jacobian sigma^p): lp_nc(ls, beta/s) - p*ls == lp_c(ls, beta).
+    import numpy as np
+
+    from advancedhmc_tpu.models import (
+        hierarchical_logistic,
+        hierarchical_logistic_nc,
+    )
+
+    p = 9
+    tc = hierarchical_logistic(n=60, p=p, dtype=jnp.float64)
+    tn = hierarchical_logistic_nc(n=60, p=p, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    th = jnp.asarray(rng.normal(size=p + 1) * 0.4)
+    lp_a, g_a = tn.logdensity_and_grad(th)
+    np.testing.assert_allclose(float(lp_a), float(tn.logdensity(th)),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_a),
+                               np.asarray(jax.grad(tn.logdensity)(th)),
+                               rtol=1e-8)
+    for _ in range(3):
+        ls = float(rng.normal() * 0.5)
+        beta = rng.normal(size=p) * 0.4
+        th_c = jnp.asarray(np.concatenate([[ls], beta]))
+        th_n = jnp.asarray(np.concatenate([[ls], beta / np.exp(ls)]))
+        d = float(tn.logdensity(th_n)) - p * ls - float(tc.logdensity(th_c))
+        assert abs(d) < 1e-9, d
