@@ -172,8 +172,7 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
-                     unroll: int = 1, progress_cb=None, out_dtype=None,
-                     stage_slots: int = 0, pack_carry: str = ""):
+                     unroll: int = 1, progress_cb=None, experimental=None):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -185,7 +184,18 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     OnlineMoments pytree) switches to storage-free collection: draws are
     folded into the running summary and the return becomes
     (state, None, stats, online_moments).
+
+    `experimental` (an `experimental.Experimental`) opts into the measured-
+    but-not-adopted loop layouts (packed carry, segmented collection, bf16
+    out buffers) — see that module's doc for the evidence per knob.
     """
+    if experimental is None:
+        from .experimental import Experimental as _Exp
+
+        experimental = _Exp()
+    out_dtype = experimental.out_dtype
+    stage_slots = experimental.stage_slots
+    pack_carry = experimental.pack_carry
     per_chain = not spec.cross_chain
     n_chains = state.z.theta.shape[0]
     assert n_draws % fuse == 0, "fuse_draws must divide the draw count"
@@ -285,78 +295,6 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     thetas = thetas.reshape((n_kept,) + thetas.shape[2:])
     stats = {k: v.reshape((n_kept,) + v.shape[2:]) for k, v in stats.items()}
     return state, thetas, stats
-
-
-def fused_draw_phase_ragged(spec: SampleSpec, state: HMCState, t_max: int,
-                            t_min: int, out_dtype=None):
-    """ONE variable-draws-per-chain fused dispatch (draw phase only).
-
-    Every chain completes at least `t_min` transitions; chains that finish
-    early KEEP sampling — up to the `t_max` buffer capacity — instead of
-    idling until the slowest chain catches up. The dispatch wall is the same
-    as a rectangular `t_min`-transition block (set by the slowest chain),
-    but the idle-lane time of the rectangular layout becomes extra draws,
-    so collected-draws/second rises by the idle factor (the remaining draw-
-    phase utilisation headroom measured in PERF.md). Beyond the reference
-    (its matrix mode is static-trajectory, synchronous per step).
-
-    Returns (new_state, thetas (C, t_max, dim), counts (C,), stats) — chain
-    c's draws are rows [0, counts[c]); stats leaves are (C, t_max) zero-
-    filled past the count. Pooled statistics MUST weight by `counts` (draw
-    counts correlate with the chain's local tree size, so equal-weight
-    pooling over the raw buffer would bias toward small-tree regions);
-    `diagnostics.effective_sample_size_ragged` is the matching ESS
-    estimator. `new_state.iteration` advances by `t_min` (the guaranteed
-    common count).
-    """
-    from .hamiltonian import FullMomentumRefreshment
-    from .metrics import DenseEuclideanMetric as _Dense
-    from .metrics import DiagEuclideanMetric as _Diag
-    from .metrics import UnitEuclideanMetric as _Unit
-
-    per_chain = not spec.cross_chain
-    if not (1 <= t_min < t_max):
-        raise ValueError("need 1 <= t_min < t_max")
-    if not isinstance(spec.kernel.refreshment, FullMomentumRefreshment):
-        raise ValueError("variable-draws collection requires full momentum "
-                         "refreshment")
-    if not isinstance(spec.kernel.trajectory.criterion,
-                      DynamicTerminationCriterion):
-        raise ValueError("variable-draws collection requires a dynamic "
-                         "(NUTS) termination criterion")
-    if per_chain and not isinstance(state.metric, (_Diag, _Unit, _Dense)):
-        raise ValueError("per-chain variable-draws collection supports "
-                         "unit/diag/dense metrics (batch-explicit loop)")
-    if spec.coupled:
-        raise ValueError("variable-draws collection is incompatible with "
-                         "coupled chains (chains desync by construction)")
-
-    n_chains = state.z.theta.shape[0]
-    key, k_step = jax.random.split(state.key)
-    keys = jax.random.split(k_step, n_chains)
-    if per_chain:
-        eps_c = state.adapt.da.eps                        # (C,)
-        if isinstance(state.metric, (_Diag, _Dense)):
-            metric_t = jax.tree_util.tree_map(lambda x: x[0], state.metric)
-            metric_b = state.metric
-        else:
-            metric_t, metric_b = state.metric, None
-        eps_t, eps_b = eps_c[0], eps_c
-    else:
-        metric_t, metric_b = state.metric, None
-        eps_t, eps_b = state.adapt.da.eps, None
-    h = Hamiltonian(metric=metric_t, target=spec.target, kinetic=spec.kinetic)
-    integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps_t)
-    traj = spec.kernel.trajectory.replace(integrator=integ)
-    z_last, ths, stats, counts = nuts_transitions_fused(
-        keys, h, traj, state.z, t_max, spec.kernel.refreshment,
-        out_dtype=out_dtype, batched=True, metric_batch=metric_b,
-        eps_batch=eps_b, t_min=t_min,
-    )
-    stats["is_adapt"] = jnp.zeros_like(stats["numerical_error"])
-    new_st = state.replace(iteration=state.iteration + t_min, z=z_last,
-                           key=key)
-    return new_st, ths, counts, stats
 
 
 def _thin_block(ths, stats, thin: int):

@@ -255,16 +255,16 @@ def main():
 
     @jax.jit
     def run_chunk_fused(state):
-        new_st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
-                                                 unroll=unroll,
-                                                 out_dtype=out_dtype,
-                                                 stage_slots=stage,
-                                                 pack_carry=pack_carry)
+        from advancedhmc_tpu.experimental import Experimental
+        new_st, thetas, stats = fused_draw_phase(
+            spec, state, chunk, fuse, unroll=unroll,
+            experimental=Experimental(out_dtype=out_dtype, stage_slots=stage,
+                                      pack_carry=pack_carry))
         return new_st, (thetas, stats["n_steps"],
                         jnp.sum(stats["numerical_error"]),
                         jnp.mean(stats["acceptance_rate"]))
 
-    from advancedhmc_tpu.sampler import fused_draw_phase_ragged
+    from advancedhmc_tpu.experimental import fused_draw_phase_ragged
 
     @jax.jit
     def run_chunk_ragged(state):

@@ -97,8 +97,10 @@ def main():
 
         @jax.jit
         def run(state):
+            from advancedhmc_tpu.experimental import Experimental
             st, thetas, stats = fused_draw_phase(
-                spec, state, chunk, fuse, out_dtype=out_dtype
+                spec, state, chunk, fuse,
+                experimental=Experimental(out_dtype=out_dtype)
             )
             return st, thetas, stats["n_steps"]
 

@@ -23,6 +23,7 @@ from advancedhmc_tpu import (
     make_metric,
 )
 from advancedhmc_tpu.models import std_gaussian
+from advancedhmc_tpu.experimental import Experimental
 from advancedhmc_tpu.sampler import SampleSpec, fused_draw_phase
 
 DIM = 4
@@ -53,7 +54,8 @@ def _state_and_spec(cross_chain):
 
 def _draws(spec, state, pack):
     st, ths, stats = fused_draw_phase(spec, state, 2 * FUSE, FUSE,
-                                      pack_carry=pack)
+                                      experimental=Experimental(
+                                          pack_carry=pack))
     return st, ths, stats
 
 
@@ -95,4 +97,5 @@ def test_packed_carry_conflicting_knobs_raise():
     spec, state = _state_and_spec(cross_chain=True)
     with pytest.raises(ValueError, match="pack_carry"):
         fused_draw_phase(spec, state, 2 * FUSE, FUSE,
-                         pack_carry="fc", stage_slots=2)
+                         experimental=Experimental(pack_carry="fc",
+                                                   stage_slots=2))

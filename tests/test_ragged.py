@@ -29,11 +29,8 @@ from advancedhmc_tpu.diagnostics import (
     effective_sample_size,
     effective_sample_size_ragged,
 )
-from advancedhmc_tpu.sampler import (
-    SampleSpec,
-    fused_draw_phase,
-    fused_draw_phase_ragged,
-)
+from advancedhmc_tpu.experimental import fused_draw_phase_ragged
+from advancedhmc_tpu.sampler import SampleSpec, fused_draw_phase
 
 D = 5
 TARGET = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2), D)
