@@ -150,11 +150,16 @@ def main():
     # Stan window-schedule buffers (ref stan_adaptor.jl:105-115 defaults);
     # short-warmup runs can shrink them so the metric still gets window
     # refreshes (e.g. WARMUP=160 INIT_BUFFER=50 TERM_BUFFER=35).
+    # mass-matrix estimator (VERDICT r2 #5: nutpie at bench probes the
+    # min-dim bottleneck). nutpie needs gradient recording, which the
+    # cross-chain FUSED warmup does not do — fall back to the scan warmup.
+    mm_kind = os.environ.get("AHMC_BENCH_MM_KIND", "welford_var")
     spec = SampleSpec(
         target=target,
         kernel=kernel,
         adaptor=AdaptorConfig(
             kind="stan",
+            mm_kind=mm_kind,
             # kappa < 0.75 weights LATE iterates more in the finalize average
             # exp(x̄): short warmups otherwise finalize eps off the endpoint
             # equilibrium (the x̄ average still carries the descent; measured
@@ -278,7 +283,8 @@ def main():
                         jnp.sum(valid))
 
     # --- warmup (chunked, untimed beyond wall) ---
-    use_fw = fuse_warmup > 1 and n_warmup % fuse_warmup == 0
+    use_fw = (fuse_warmup > 1 and n_warmup % fuse_warmup == 0
+              and mm_kind != "nutpie")
     if use_fw:
         import functools
 
