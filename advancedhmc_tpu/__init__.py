@@ -27,6 +27,7 @@ from .integrators import (
     ComposedLeapfrog,
     JitteredLeapfrog,
     Leapfrog,
+    SolverIntegrator,
     TemperedLeapfrog,
     leapfrog_step,
     leapfrog_steps,
@@ -67,6 +68,7 @@ __all__ = [
     "Hamiltonian", "PhasePoint",
     "FullMomentumRefreshment", "PartialMomentumRefreshment",
     "Leapfrog", "JitteredLeapfrog", "TemperedLeapfrog", "ComposedLeapfrog",
+    "SolverIntegrator",
     "leapfrog_step", "leapfrog_steps", "leapfrog_trajectory",
     "FixedNSteps", "FixedIntegrationTime",
     "ClassicNoUTurn", "GeneralisedNoUTurn", "StrictGeneralisedNoUTurn",

@@ -52,7 +52,8 @@ from .termination import (
 from .trajectory import HMCKernel, Trajectory
 
 
-def make_integrator(kind: str, eps=0.1, jitter_frac=0.1, temper_alpha=1.05):
+def make_integrator(kind: str, eps=0.1, jitter_frac=0.1, temper_alpha=1.05,
+                    stepper=None):
     """:leapfrog/:jitteredleapfrog/:temperedleapfrog resolution
     (ref abstractmcmc.jl:356-370), plus the higher-order symplectic
     composition (:yoshida4) — the pluggable-solver capability of the
@@ -67,6 +68,14 @@ def make_integrator(kind: str, eps=0.1, jitter_frac=0.1, temper_alpha=1.05):
         return TemperedLeapfrog(step_size=eps, alpha=temper_alpha)
     if kind in ("yoshida4", "composed"):
         return ComposedLeapfrog.yoshida4(eps)
+    if kind in ("solver", "external"):
+        # third-party symplectic stepper plug-in (≅ the OrdinaryDiffEq
+        # extension's solver delegation); see SolverIntegrator's contract
+        if stepper is None:
+            raise ValueError("kind='solver' requires stepper=...")
+        from .integrators import SolverIntegrator
+
+        return SolverIntegrator(step_size=eps, stepper=stepper)
     raise ValueError(f"unknown integrator kind {kind!r}")
 
 

@@ -19,7 +19,7 @@ TPU-native redesign of /root/reference/src/integrator.jl:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,6 +181,57 @@ class ComposedLeapfrog(struct.PyTreeNode):
         for g in self.gammas:
             z = leapfrog_step(self, h, z, g * eps)
         return z
+
+
+class SolverIntegrator(struct.PyTreeNode):
+    """Plug an EXTERNAL symplectic stepper into the kernel — the true
+    third-party-solver extension point (the reference delegates to
+    OrdinaryDiffEq solvers the same way,
+    /root/reference/ext/AdvancedHMCOrdinaryDiffEqSymplecticRKExt.jl:6-47).
+
+    `stepper(q, p, eps, grad_fn, velocity_fn) -> (q', p')` advances the
+    Hamiltonian flow one step of size `eps` (signed; negative integrates
+    backwards): `grad_fn(q)` is ∇ℓπ (the NEGATIVE potential gradient, i.e.
+    ṗ = grad_fn(q)) and `velocity_fn(p)` is M⁻¹p (q̇). Any separable-
+    Hamiltonian solver from an external library adapts in a few lines —
+    e.g. diffrax's `SemiImplicitEuler`/`Yoshida` terms, or a hand-written
+    Ruth/McLachlan composition (tests/test_integrators.py plugs in a
+    third-order Ruth stepper and checks the O(ϵ³) local order).
+
+    Correctness contract: the stepper must be symplectic and time-
+    reversible for the MH acceptance to be exact; the kernel handles the
+    accept test, caching, and non-finite aborts. The log density/gradient
+    cache is refreshed once per step after the external stepper returns
+    (one extra gradient per step vs the fused native leapfrog — the price
+    of a black-box solver; prefer the native integrators when speed
+    matters).
+    """
+
+    step_size: jnp.ndarray
+    stepper: Callable = struct.field(pytree_node=False)
+
+    @property
+    def nom_step_size(self):
+        return self.step_size
+
+    @property
+    def current_step_size(self):
+        return self.step_size
+
+    def with_nom_step_size(self, eps):
+        return self.replace(step_size=eps)
+
+    def jitter(self, key):
+        return self
+
+    def temper_scale(self, i, is_half_first, n_steps):
+        return None
+
+    def step(self, h, z, eps, step_index=0, n_steps=1):
+        grad_fn = lambda q: h.target.logdensity_and_grad(q)[1]
+        q, p = self.stepper(z.theta, z.r, eps, grad_fn, h.velocity)
+        logdensity, grad = h.target.logdensity_and_grad(q)
+        return h.phasepoint(q, p, logdensity=logdensity, grad=grad)
 
 
 def leapfrog_step(

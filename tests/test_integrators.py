@@ -155,3 +155,81 @@ def test_pytree_target():
     assert np.isclose(float(v), -0.5 * (1 + 4 + 9))
     tree = t.unravel(jnp.asarray([1.0, 2.0, 3.0]))
     assert set(tree) == {"mu", "scale"}
+
+
+def test_solver_integrator_external_stepper():
+    """SolverIntegrator: a third-party symplectic stepper plugs into the
+    kernel (the true solver-delegation analogue of the OrdinaryDiffEq
+    extension, ref ext/AdvancedHMCOrdinaryDiffEqSymplecticRKExt.jl:6-47).
+
+    (a) an externally-written leapfrog reproduces the native Leapfrog's
+    trajectory; (b) Ruth's 3rd-order composition beats leapfrog's energy
+    error; (c) it samples end-to-end through the public NUTS kernel."""
+    from advancedhmc_tpu import SolverIntegrator, make_integrator
+
+    h = _h1d()
+    z0 = h.phasepoint(jnp.asarray([1.0]), jnp.asarray([0.0]))
+    e0 = float(z0.energy())
+
+    def ext_leapfrog(q, p, eps, grad_fn, vel_fn):
+        p = p + 0.5 * eps * grad_fn(q)
+        q = q + eps * vel_fn(p)
+        p = p + 0.5 * eps * grad_fn(q)
+        return q, p
+
+    native = Leapfrog(step_size=jnp.asarray(0.2, jnp.float64))
+    plugged = SolverIntegrator(step_size=jnp.asarray(0.2, jnp.float64),
+                               stepper=ext_leapfrog)
+    z_n, z_p = z0, z0
+    for _ in range(25):
+        z_n = native.step(h, z_n, 0.2)
+        z_p = plugged.step(h, z_p, 0.2)
+    np.testing.assert_allclose(np.asarray(z_p.theta), np.asarray(z_n.theta),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(z_p.r), np.asarray(z_n.r),
+                               rtol=1e-12)
+
+    # Ruth 1983 third-order symplectic coefficients
+    RUTH_C = (1.0, -2.0 / 3.0, 2.0 / 3.0)
+    RUTH_D = (-1.0 / 24.0, 3.0 / 4.0, 7.0 / 24.0)
+
+    def ruth3(q, p, eps, grad_fn, vel_fn):
+        for c, d in zip(RUTH_C, RUTH_D):
+            q = q + c * eps * vel_fn(p)
+            p = p + d * eps * grad_fn(q)
+        return q, p
+
+    def max_energy_err(integ, eps, n):
+        z = z0
+        err = 0.0
+        for _ in range(n):
+            z = integ.step(h, z, eps)
+            err = max(err, abs(float(z.energy()) - e0))
+        return err
+
+    eps = 0.25
+    err_lf = max_energy_err(Leapfrog(step_size=jnp.asarray(eps, jnp.float64)),
+                            eps, 40)
+    err_r3 = max_energy_err(
+        make_integrator("solver", jnp.asarray(eps, jnp.float64),
+                        stepper=ruth3), eps, 40)
+    assert err_r3 < err_lf / 3, (err_r3, err_lf)
+
+    # end-to-end: the plugged solver drives the public NUTS kernel
+    from advancedhmc_tpu import (
+        AdaptorConfig, GeneralisedNoUTurn, HMCKernel, Trajectory, as_target,
+        make_metric, sample,
+    )
+
+    target = as_target(lambda th: -0.5 * jnp.sum(th**2), dim=3)
+    kernel = HMCKernel(Trajectory(
+        make_integrator("solver", jnp.asarray(0.5, jnp.float64),
+                        stepper=ruth3),
+        GeneralisedNoUTurn(), "multinomial"))
+    res = sample(jax.random.PRNGKey(0), target, kernel,
+                 make_metric("diagonal", 3, dtype=jnp.float64),
+                 jnp.zeros((8, 3), jnp.float64), 400, n_adapts=200,
+                 adaptor=AdaptorConfig(kind="stan"), drop_warmup=True)
+    draws = np.asarray(res.thetas).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(draws.std(0), 1.0, rtol=0.15)
