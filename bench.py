@@ -649,8 +649,13 @@ def main():
         lp0, grad0 = jax.jit(jax.vmap(target.logdensity_and_grad))(theta0)
         lp0 = jnp.where(jnp.isfinite(lp0), lp0, -jnp.inf)
         adapt0 = AdaptState.init(cfg_c, dim, eps0_c, jnp.float32)
+        # T0=2 adopted (r3 sweep): the SGA converges to tau ~ 1-1.3 from
+        # either init, but the Polyak iterate average lags the init, and the
+        # T0=2 run's post-warmup tau=1.27 nearly TRIPLES worst-dimension
+        # throughput (chees_min_ess_per_s 385k @ T0=1 -> 1.11M) at -6%
+        # median ESS/s. T0=4 (tau 2.45) is worse on both. PERF.md "ChEES".
         cs0 = CheesState.init(
-            float(os.environ.get("AHMC_BENCH_CHEES_T0", 1.0)), jnp.float32)
+            float(os.environ.get("AHMC_BENCH_CHEES_T0", 2.0)), jnp.float32)
         n_total_c = n_warm_c + n_draws_c
         flags_c = adapt_flags(cfg_c, n_warm_c, n_total_c)
         u_all = jnp.asarray(halton_sequence(n_total_c), jnp.float32)
