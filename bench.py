@@ -568,7 +568,16 @@ def main():
             effective_sample_size_ragged,
         )
 
-        ess = np.asarray(ess_fn(jnp.asarray(thetas_np[:, :max_ess_chains, :])))
+        # ESS is per-dimension independent; chunk the dim axis so the FFT's
+        # (2n, C, Dc) complex intermediates stay bounded — at dim=1000 the
+        # unchunked autocovariance OOMs the chip (measured, r3)
+        _dc = max(1, int(2.5e8 // (8 * 2 * thetas_np.shape[0]
+                                   * max_ess_chains)))
+        ess = np.concatenate([
+            np.asarray(ess_fn(jnp.asarray(
+                thetas_np[:, :max_ess_chains, j:j + _dc])))
+            for j in range(0, dim, _dc)
+        ])
         ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
         min_ess_total = float(np.min(ess)) * (n_chains / max_ess_chains)
         if os.environ.get("AHMC_BENCH_ESS_ALL") == "1":
@@ -589,10 +598,14 @@ def main():
             extras_all = {}
         # per-chain-sum estimator on the same draws: the apples-to-apples
         # comparison number for ragged-mode runs (different pooling)
-        ess_pc = np.asarray(effective_sample_size_ragged(
-            jnp.asarray(np.swapaxes(thetas_np[:, :max_ess_chains, :], 0, 1)),
-            jnp.full((max_ess_chains,), thetas_np.shape[0]),
-        ))
+        _x_pc = np.swapaxes(thetas_np[:, :max_ess_chains, :], 0, 1)
+        ess_pc = np.concatenate([
+            np.asarray(effective_sample_size_ragged(
+                jnp.asarray(_x_pc[:, :, j:j + _dc]),
+                jnp.full((max_ess_chains,), thetas_np.shape[0]),
+            ))
+            for j in range(0, dim, _dc)
+        ])
         extras = {"median_ess_perchain_est": round(
             float(np.median(ess_pc)) * (n_chains / max_ess_chains), 1),
             **extras_all}
@@ -709,8 +722,13 @@ def main():
             th_c_np = np.concatenate(
                 [th_c_np[..., :1],
                  th_c_np[..., 1:] * np.exp(th_c_np[..., :1])], -1)
-        ess_c = np.asarray(effective_sample_size(
-            jnp.asarray(th_c_np[:, :max_ess_chains, :])))
+        _dcc = max(1, int(2.5e8 // (8 * 2 * th_c_np.shape[0]
+                                    * max_ess_chains)))
+        ess_c = np.concatenate([
+            np.asarray(effective_sample_size(jnp.asarray(
+                th_c_np[:, :max_ess_chains, j:j + _dcc])))
+            for j in range(0, dim, _dcc)
+        ])
         scale_c = n_chains / max_ess_chains
         chees_extras = {
             "chees_ess_per_s": round(
