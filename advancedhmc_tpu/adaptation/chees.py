@@ -26,6 +26,7 @@ while-loop has a uniform, device-wide trip count). log T follows Adam.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -60,6 +61,13 @@ class CheesConfig:
     adam_eps: float = 1e-8
     max_trajectory_length: float = 100.0
     min_trajectory_length: float = 1e-3
+    # Polyak tail-averaging: fold iterates into the finalize average only
+    # AFTER this many SGA steps. A whole-history average (avg_start=0) lags
+    # the descent when T0 is far from the optimum — measured on TPU: the
+    # T0=2 run finalizes τ=1.27 while the converged SGA sits near 1.3, and
+    # T0=1 finalizes 0.97 (PERF.md "ChEES"). `sample_chees` defaults this
+    # to n_adapts//2 via avg_start=None ("auto").
+    avg_start: Optional[int] = None
 
 
 class CheesState(struct.PyTreeNode):
@@ -132,9 +140,14 @@ def chees_update(
         jnp.log(cfg.min_trajectory_length),
         jnp.log(cfg.max_trajectory_length),
     )
-    # harmonic iterate average of log T
-    eta = 1.0 / cf
-    log_t_avg = (1.0 - eta) * st.log_t_avg + eta * log_t
+    # harmonic iterate average of log T; with tail-averaging (avg_start>0)
+    # the average restarts once the SGA has had time to descend, so the
+    # finalized T tracks the converged iterate instead of the init
+    start = float(cfg.avg_start or 0)
+    eta = 1.0 / jnp.maximum(cf - start, 1.0)
+    log_t_avg = jnp.where(
+        cf <= start, log_t, (1.0 - eta) * st.log_t_avg + eta * log_t
+    )
     ok = jnp.isfinite(log_t)
     return CheesState(
         log_t=jnp.where(ok, log_t, st.log_t),

@@ -172,9 +172,15 @@ def sample_chees(
     trajectory length is in `result.stats["trajectory_length"]` (post-warmup
     rows hold the finalized T·u_m values).
     """
+    import dataclasses as _dc
+
     theta = jnp.asarray(init_theta)
     if theta.ndim == 1:
         raise ValueError("ChEES needs a chain batch: init_theta (C, D)")
+    if chees.avg_start is None:
+        # tail-average the finalize T over the second half of warmup (the
+        # whole-history average lags the SGA when T0 is off; PERF.md)
+        chees = _dc.replace(chees, avg_start=n_adapts // 2)
     n_chains, dim = theta.shape
     dtype = theta.dtype
 

@@ -186,7 +186,7 @@ def main():
         cross_chain=True,
     )
 
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(int(os.environ.get("AHMC_BENCH_SEED", 0)))
     k_init, k_eps, k_state = jax.random.split(key, 3)
     theta0 = 0.1 * jax.random.normal(k_init, (n_chains, dim), jnp.float32)
 
@@ -655,7 +655,7 @@ def main():
                                            sqrt_m_inv=jnp.sqrt(m_inv0))
         else:
             metric_c = make_metric("diagonal", dim)
-        kc = jax.random.PRNGKey(3)
+        kc = jax.random.PRNGKey(3 + int(os.environ.get("AHMC_BENCH_SEED", 0)))
         kc, k_eps_c = jax.random.split(kc)
         h_c = Hamiltonian(metric=metric_c, target=target)
         eps0_c = jax.jit(find_good_stepsize)(k_eps_c, h_c, theta0[0])
@@ -672,7 +672,10 @@ def main():
         n_total_c = n_warm_c + n_draws_c
         flags_c = adapt_flags(cfg_c, n_warm_c, n_total_c)
         u_all = jnp.asarray(halton_sequence(n_total_c), jnp.float32)
-        step_c = make_chees_step(target, cfg_c, CheesConfig(), max_steps_c)
+        import dataclasses as _dc
+
+        chees_cfg = _dc.replace(CheesConfig(), avg_start=n_warm_c // 2)
+        step_c = make_chees_step(target, cfg_c, chees_cfg, max_steps_c)
 
         def slice_c(s, e):
             return (jax.tree_util.tree_map(lambda a: a[s:e], flags_c),

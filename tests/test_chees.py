@@ -89,3 +89,38 @@ def test_chees_drop_warmup():
     assert out.thetas.shape[0] == 30
     assert out.warmup_stats is not None
     assert not bool(np.asarray(out.stats["is_adapt"]).any())
+
+
+def test_chees_tail_averaging_tracks_converged_iterate():
+    # With T0 far from the optimum, the whole-history Polyak average lags
+    # the SGA descent; tail-averaging (avg_start = n_adapts//2, the
+    # sample_chees default) must finalize T closer to the final iterate.
+    from advancedhmc_tpu.adaptation.chees import (
+        CheesConfig,
+        CheesState,
+        chees_update,
+    )
+
+    n = 200
+
+    def run(avg_start):
+        rng = np.random.default_rng(0)
+        cfg = CheesConfig(avg_start=avg_start)
+        st = CheesState.init(8.0, jnp.float64)  # far-off init
+        C, D = 32, 4
+        for i in range(n):
+            th = jnp.asarray(rng.normal(size=(C, D)))
+            # synthetic signal pushing log T DOWN (prop closer to center)
+            thp = 0.5 * th
+            vp = jnp.asarray(rng.normal(size=(C, D)))
+            alpha = jnp.full((C,), 0.8)
+            st = chees_update(cfg, st, th, thp, vp, alpha,
+                              jnp.exp(st.log_t))
+        return float(st.log_t), float(st.log_t_avg)
+
+    lt_full, avg_full = run(0)
+    lt_tail, avg_tail = run(n // 2)
+    assert abs(lt_full - lt_tail) < 1e-9   # same SGA trajectory
+    # tail average must sit closer to the converged iterate
+    assert abs(avg_tail - lt_tail) < abs(avg_full - lt_full), (
+        avg_tail, avg_full, lt_tail)

@@ -536,3 +536,22 @@ def test_segmented_collection_bit_identical():
     np.testing.assert_array_equal(outs[0][1], outs[3][1])
     for k in outs[0][2]:
         np.testing.assert_array_equal(outs[0][2][k], outs[3][2][k])
+
+
+def test_ess_dim_chunked_equals_unchunked():
+    # bench.py chunks the ESS FFT over the dim axis (the unchunked
+    # autocovariance OOMs the chip at dim=1000); ESS is per-dimension
+    # independent, so chunking must be exactly equivalent.
+    from advancedhmc_tpu.diagnostics import effective_sample_size
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 8, 13)).astype(np.float64)
+    # add autocorrelation so the estimator is non-trivial
+    for t in range(1, 64):
+        x[t] = 0.6 * x[t - 1] + np.sqrt(1 - 0.36) * x[t]
+    full = np.asarray(effective_sample_size(jnp.asarray(x)))
+    chunked = np.concatenate([
+        np.asarray(effective_sample_size(jnp.asarray(x[:, :, j:j + 4])))
+        for j in range(0, 13, 4)
+    ])
+    np.testing.assert_allclose(chunked, full, rtol=1e-12)
