@@ -214,5 +214,5 @@ def sample_chees(
         stats = {k: v[n_adapts:] for k, v in stats.items()}
     return SampleResult(
         thetas=thetas, stats=stats, warmup_stats=warmup_stats,
-        final_state=carry,
+        final_state=carry, target=target,
     )

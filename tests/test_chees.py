@@ -124,3 +124,25 @@ def test_chees_tail_averaging_tracks_converged_iterate():
     # tail average must sit closer to the converged iterate
     assert abs(avg_tail - lt_tail) < abs(avg_full - lt_full), (
         avg_tail, avg_full, lt_tail)
+
+
+def test_chees_result_named_export():
+    # sample_chees results flow through the same named-export pipeline as
+    # NUTS results (to_inference_dict / summary)
+    from advancedhmc_tpu import sample_chees, target_from_pytree
+
+    example = {"mu": jnp.zeros(2), "s": jnp.array(0.0)}
+
+    def lp(p):
+        return -0.5 * jnp.sum(p["mu"] ** 2) - 0.5 * p["s"] ** 2
+
+    target = target_from_pytree(lp, example)
+    theta0 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (16, 3),
+                                     jnp.float64)
+    res = sample_chees(jax.random.PRNGKey(1), target, theta0,
+                       n_samples=60, n_adapts=40, drop_warmup=True)
+    post = res.to_inference_dict()["posterior"]
+    assert set(post) == {"mu", "s"}
+    assert post["mu"].shape == (16, 20, 2)
+    table = res.summary(verbose=False)
+    assert len(table) >= 1
