@@ -149,6 +149,39 @@ def make_chees_step(target, cfg: AdaptorConfig, chees: CheesConfig,
     return step
 
 
+def make_chees_draw_step(target, max_steps: int):
+    """Draws-only ChEES scan step: transition only, adaptation frozen OUT
+    of the program (not just `where`-gated).
+
+    The full step computes the trajectory-length SGA, the Welford push, and
+    dual averaging every iteration and discards them via `where` when
+    is_adapt=False — at the ChEES-optimal τ ≈ 1 (2-4 leapfrogs/transition)
+    that dead adaptation work is a large fraction of the draw-phase wall.
+    This step runs the transition alone. Bit-identical draws to the full
+    step with is_adapt=False: both consume the PRNG key with one
+    `jax.random.split` and run the same `chees_transition`
+    (tests/test_chees.py pins the equality).
+
+    carry = (theta, lp, grad, metric, eps, t_mean, key); xs = u (jitter).
+    """
+
+    def step(carry, u):
+        theta, lp, grad, metric_c, eps, t_mean, k = carry
+        k, k_tr = jax.random.split(k)
+        (theta_n, lp_n, grad_n), _, stats = chees_transition(
+            k_tr, target, metric_c, eps, u * t_mean, max_steps,
+            theta, lp, grad)
+        stats = dict(stats)
+        stats["is_adapt"] = jnp.zeros_like(stats["acceptance_rate"],
+                                           dtype=bool)
+        stats["nom_step_size"] = stats["step_size"]
+        return (theta_n, lp_n, grad_n, metric_c, eps, t_mean, k), (
+            theta_n, stats
+        )
+
+    return step
+
+
 def sample_chees(
     key,
     target: LogDensityTarget,

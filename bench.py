@@ -696,11 +696,33 @@ def main():
         cd = min(chunk, n_draws_c)
         if n_draws_c % cd:
             cd = n_draws_c
+        # draws-only step: the adaptation machinery is compiled OUT of the
+        # draw program (the full step's `where`-gated SGA/Welford/DA dead
+        # work is a large overhead at τ ≈ 1 — ~2-4 leapfrogs/transition);
+        # bit-identical draws (tests/test_chees.py pins the equality)
+        from advancedhmc_tpu.chees import make_chees_draw_step
+
+        dstep = make_chees_draw_step(target, max_steps_c)
+
+        @jax.jit
+        def run_cd(dcarry, u):
+            dcarry, (ths, st) = jax.lax.scan(dstep, dcarry, u)
+            return dcarry, (ths,
+                            jnp.sum(st["n_steps"]),
+                            jnp.sum(st["numerical_error"]),
+                            jnp.mean(st["acceptance_rate"]),
+                            jnp.mean(st["trajectory_length"]))
+
         carry = (theta0, lp0, grad0, metric_c, adapt0, cs0, kc)
+
+        def to_draw_carry(c):
+            th, lp, gr, met, adapt, cs, k = c
+            return (th, lp, gr, met, adapt.da.eps,
+                    jnp.exp(cs.log_t_avg), k)
+
         # program-load throwaways (same methodology as the NUTS phases)
         jax.block_until_ready(run_cc(carry, *slice_c(0, cw)))
-        if cd != cw:
-            jax.block_until_ready(run_cc(carry, *slice_c(0, cd)))
+        jax.block_until_ready(run_cd(to_draw_carry(carry), u_all[:cd]))
 
         t0c = time.time()
         for s in range(0, n_warm_c, cw):
@@ -709,9 +731,10 @@ def main():
         chees_warm_s = time.time() - t0c
         th_cs, accs_c, taus_c = [], [], []
         lfs_c = divs_c = 0.0
+        dcarry = to_draw_carry(carry)
         t0c = time.time()
         for s in range(n_warm_c, n_total_c, cd):
-            carry, (ths, ns, nd, am, tm) = run_cc(carry, *slice_c(s, s + cd))
+            dcarry, (ths, ns, nd, am, tm) = run_cd(dcarry, u_all[s:s + cd])
             th_cs.append(ths)
             lfs_c += float(ns)
             divs_c += float(nd)

@@ -146,3 +146,55 @@ def test_chees_result_named_export():
     assert post["mu"].shape == (16, 20, 2)
     table = res.summary(verbose=False)
     assert len(table) >= 1
+
+
+def test_chees_draw_step_bitexact_vs_full_step():
+    # the draws-only step (adaptation compiled out) must reproduce the full
+    # step with is_adapt=False bit-for-bit: same RNG consumption, same
+    # transition. This pins the bench's fast draw phase.
+    from advancedhmc_tpu.adaptation import (
+        AdaptorConfig,
+        AdaptState,
+        adapt_flags,
+    )
+    from advancedhmc_tpu.adaptation.chees import (
+        CheesConfig,
+        CheesState,
+        halton_sequence,
+    )
+    from advancedhmc_tpu.chees import (
+        _batched_lp_grad,
+        make_chees_draw_step,
+        make_chees_step,
+    )
+    from advancedhmc_tpu.metrics import make_metric
+    from advancedhmc_tpu.models import std_gaussian
+
+    D, C, N = 4, 16, 12
+    target = std_gaussian(D)
+    cfg = AdaptorConfig(kind="stan", mm_kind="welford_var")
+    theta = 0.4 * jax.random.normal(jax.random.PRNGKey(0), (C, D),
+                                    jnp.float64)
+    lp, grad = _batched_lp_grad(target, theta)
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    adapt = AdaptState.init(cfg, D, jnp.asarray(0.5, jnp.float64),
+                            jnp.float64)
+    cs = CheesState.init(1.5, jnp.float64)
+    key = jax.random.PRNGKey(7)
+    u = jnp.asarray(halton_sequence(N), jnp.float64)
+    flags = adapt_flags(cfg, 0, N)      # all draws, no adaptation
+
+    full = make_chees_step(target, cfg, CheesConfig(avg_start=0), 64)
+    carry0 = (theta, lp, grad, metric, adapt, cs, key)
+    _, (th_full, st_full) = jax.lax.scan(full, carry0, (flags, u))
+
+    draw = make_chees_draw_step(target, 64)
+    dcarry0 = (theta, lp, grad, metric, adapt.da.eps,
+               jnp.exp(cs.log_t_avg), key)
+    _, (th_draw, st_draw) = jax.lax.scan(draw, dcarry0, u)
+
+    np.testing.assert_array_equal(np.asarray(th_full), np.asarray(th_draw))
+    for k in ("n_steps", "acceptance_rate", "log_density",
+              "hamiltonian_energy", "trajectory_length"):
+        np.testing.assert_array_equal(np.asarray(st_full[k]),
+                                      np.asarray(st_draw[k]), err_msg=k)
