@@ -634,8 +634,11 @@ def main():
         from advancedhmc_tpu.metrics import DiagEuclideanMetric
         from advancedhmc_tpu.stepsize_search import find_good_stepsize
 
-        # 0.651 = optimal acceptance for jittered HMC per the ChEES paper
-        delta_c = float(os.environ.get("AHMC_BENCH_CHEES_DELTA", 0.651))
+        # 0.75 adopted (r3 hardware sweep): the paper's asymptotic 0.651
+        # is NOT the ESS/s optimum here — δ 0.55→1.34M, 0.651→1.74M,
+        # **0.75→2.25M** (min-dim 1.82M — 2.8× the r2 NUTS min-dim),
+        # 0.8→1.84M, 0.85→2.20M, 0.9→1.61M; moments/div gates pass at all.
+        delta_c = float(os.environ.get("AHMC_BENCH_CHEES_DELTA", 0.75))
         n_warm_c = int(os.environ.get("AHMC_BENCH_CHEES_WARMUP", n_warmup))
         n_draws_c = int(os.environ.get("AHMC_BENCH_CHEES_DRAWS", n_draws))
         max_steps_c = int(os.environ.get("AHMC_BENCH_CHEES_MAX_STEPS",
