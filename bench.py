@@ -714,7 +714,8 @@ def main():
                             jnp.sum(st["n_steps"]),
                             jnp.sum(st["numerical_error"]),
                             jnp.mean(st["acceptance_rate"]),
-                            jnp.mean(st["trajectory_length"]))
+                            jnp.mean(st["trajectory_length"]),
+                            jnp.mean(st["step_size"]))
 
         carry = (theta0, lp0, grad0, metric_c, adapt0, cs0, kc)
 
@@ -732,17 +733,19 @@ def main():
             carry, _ = run_cc(carry, *slice_c(s, s + cw))
             jax.block_until_ready(carry[0])
         chees_warm_s = time.time() - t0c
-        th_cs, accs_c, taus_c = [], [], []
+        th_cs, accs_c, taus_c, epss_c = [], [], [], []
         lfs_c = divs_c = 0.0
         dcarry = to_draw_carry(carry)
         t0c = time.time()
         for s in range(n_warm_c, n_total_c, cd):
-            dcarry, (ths, ns, nd, am, tm) = run_cd(dcarry, u_all[s:s + cd])
+            dcarry, (ths, ns, nd, am, tm, em) = run_cd(
+                dcarry, u_all[s:s + cd])
             th_cs.append(ths)
             lfs_c += float(ns)
             divs_c += float(nd)
             accs_c.append(float(am))
             taus_c.append(float(tm))
+            epss_c.append(float(em))
         jax.block_until_ready(th_cs[-1])
         chees_draw_s = time.time() - t0c
 
@@ -774,6 +777,7 @@ def main():
             "chees_divergence_rate": round(
                 divs_c / (n_draws_c * n_chains), 6),
             "chees_mean_traj_len": round(float(np.mean(taus_c)), 4),
+            "chees_eps": round(float(np.mean(epss_c)), 5),
             "chees_mean_logsigma": round(float(th_c_np[:, :, 0].mean()), 5),
             "chees_sd_logsigma": round(float(th_c_np[:, :, 0].std()), 5),
             "chees_mean_beta_norm": round(float(np.linalg.norm(
