@@ -639,7 +639,13 @@ def main():
         # **0.75→2.25M** (min-dim 1.82M — 2.8× the r2 NUTS min-dim),
         # 0.8→1.84M, 0.85→2.20M, 0.9→1.61M; moments/div gates pass at all.
         delta_c = float(os.environ.get("AHMC_BENCH_CHEES_DELTA", 0.75))
-        n_warm_c = int(os.environ.get("AHMC_BENCH_CHEES_WARMUP", n_warmup))
+        # 256 adopted (r3): unlike NUTS, ChEES NEEDS the window-refreshed
+        # metric — with the gradient seed only, its whole-trajectory MH
+        # forces ε≈0.06; the refreshed M⁻¹ lifts ε to ~0.47 (8×) and ESS/s
+        # 1.7M→2.8-3.3M. ChEES warmup executes in ~0.15 s, so the longer
+        # schedule is nearly free. Small smokes keep the NUTS warmup length.
+        n_warm_c = int(os.environ.get(
+            "AHMC_BENCH_CHEES_WARMUP", 256 if n_warmup >= 128 else n_warmup))
         n_draws_c = int(os.environ.get("AHMC_BENCH_CHEES_DRAWS", n_draws))
         max_steps_c = int(os.environ.get("AHMC_BENCH_CHEES_MAX_STEPS",
                                          2 ** max_depth))
@@ -665,13 +671,15 @@ def main():
         lp0, grad0 = jax.jit(jax.vmap(target.logdensity_and_grad))(theta0)
         lp0 = jnp.where(jnp.isfinite(lp0), lp0, -jnp.inf)
         adapt0 = AdaptState.init(cfg_c, dim, eps0_c, jnp.float32)
-        # T0=2 adopted (r3 sweep): the SGA converges to tau ~ 1-1.3 from
-        # either init, but the Polyak iterate average lags the init, and the
-        # T0=2 run's post-warmup tau=1.27 nearly TRIPLES worst-dimension
-        # throughput (chees_min_ess_per_s 385k @ T0=1 -> 1.11M) at -6%
-        # median ESS/s. T0=4 (tau 2.45) is worse on both. PERF.md "ChEES".
+        # T0=4 adopted (r3, windowed metric): the SGA climbs toward long
+        # trajectories on this posterior but converges slowly, so the init
+        # still steers the finalized T. Measured (warmup 256, δ=0.75):
+        # T0=2 → 3.34M ESS/s / 0.62M min-dim (throughput point);
+        # T0=4 → 2.78M / 1.81M (balanced, adopted);
+        # T0=8 → 2.53M / 2.26M (min-dim point — the slow hyperparameter
+        # mixes at 90% of the median). PERF.md "ChEES".
         cs0 = CheesState.init(
-            float(os.environ.get("AHMC_BENCH_CHEES_T0", 2.0)), jnp.float32)
+            float(os.environ.get("AHMC_BENCH_CHEES_T0", 4.0)), jnp.float32)
         n_total_c = n_warm_c + n_draws_c
         flags_c = adapt_flags(cfg_c, n_warm_c, n_total_c)
         u_all = jnp.asarray(halton_sequence(n_total_c), jnp.float32)
