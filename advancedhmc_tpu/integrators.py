@@ -199,8 +199,15 @@ class SolverIntegrator(struct.PyTreeNode):
     third-order Ruth stepper and checks the O(ϵ³) local order).
 
     Correctness contract: the stepper must be symplectic and time-
-    reversible for the MH acceptance to be exact; the kernel handles the
-    accept test, caching, and non-finite aborts. The log density/gradient
+    reversible (self-adjoint: integrating back with -eps inverts the flow)
+    for the MH acceptance to be exact; the kernel handles the accept test,
+    caching, and non-finite aborts. NOTE: asymmetric compositions like
+    Ruth-3 are symplectic but NOT self-adjoint — backward integration with
+    -eps is the adjoint method, not the inverse flow, so detailed balance
+    (and hence MH exactness) holds only approximately, at the method's
+    order. Prefer palindromic/symmetric steppers (leapfrog, Yoshida,
+    symmetric McLachlan) when exactness matters. (The reference's
+    OrdinaryDiffEq extension never checks this either.) The log density/gradient
     cache is refreshed once per step after the external stepper returns
     (one extra gradient per step vs the fused native leapfrog — the price
     of a black-box solver; prefer the native integrators when speed

@@ -35,12 +35,24 @@ def distributed_init(**kwargs):
     missing coordination service would otherwise surface much later as a
     confusing single-host mesh error.
     """
-    state = getattr(jax._src.distributed, "global_state", None)
-    if state is not None and getattr(state, "client", None) is not None:
-        return  # already initialised
+    # Prefer the public probe where it exists; the private global_state
+    # fallback is wrapped defensively (attribute renames across JAX
+    # versions must not turn a benign probe into an AttributeError).
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    try:
+        if is_init is not None and is_init():
+            return  # already initialised
+        state = getattr(getattr(jax, "_src", None), "distributed", None)
+        state = getattr(state, "global_state", None)
+        if state is not None and getattr(state, "client", None) is not None:
+            return  # already initialised
+    except AttributeError:
+        pass  # probe failed — fall through and let initialize() decide
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
+        # last-resort message match (kept as fallback only; a reworded
+        # message on a true duplicate init re-raises, which is loud but safe)
         if "already initialized" in str(e).lower():
             return
         raise

@@ -68,7 +68,13 @@ def main():
     # ESS/s 3.47M (reproduced twice), warmup exec 1.07 s vs 1.67 s
     # (PERF.md "short warmup"). 256 restores the reference-faithful
     # windowed schedule.
-    n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", 128))
+    # The 128 default is tuned to the DEFAULT posterior only; other models
+    # (funnel/gaussian/logistic_nc) have not validated the seed-metric
+    # shortcut, so they keep the reference-faithful 256-iter windowed
+    # schedule unless AHMC_BENCH_WARMUP is set explicitly.
+    _warmup_default = 128 if os.environ.get(
+        "AHMC_BENCH_MODEL", "logistic") == "logistic" else 256
+    n_warmup = int(os.environ.get("AHMC_BENCH_WARMUP", _warmup_default))
     dim = int(os.environ.get("AHMC_BENCH_DIM", 100))
     # depth 6 swept optimal at δ=0.6 (mean tree depth ~2.8; the cap trims
     # the rare deep trajectories that set the fused block's max-over-chains
@@ -571,12 +577,12 @@ def main():
         # ESS is per-dimension independent; chunk the dim axis so the FFT's
         # (2n, C, Dc) complex intermediates stay bounded — at dim=1000 the
         # unchunked autocovariance OOMs the chip (measured, r3)
-        _dc = max(1, int(2.5e8 // (8 * 2 * thetas_np.shape[0]
-                                   * max_ess_chains)))
+        ess_dim_chunk = max(1, int(2.5e8 // (8 * 2 * thetas_np.shape[0]
+                                              * max_ess_chains)))
         ess = np.concatenate([
             np.asarray(ess_fn(jnp.asarray(
-                thetas_np[:, :max_ess_chains, j:j + _dc])))
-            for j in range(0, dim, _dc)
+                thetas_np[:, :max_ess_chains, j:j + ess_dim_chunk])))
+            for j in range(0, dim, ess_dim_chunk)
         ])
         ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
         min_ess_total = float(np.min(ess)) * (n_chains / max_ess_chains)
@@ -601,10 +607,10 @@ def main():
         _x_pc = np.swapaxes(thetas_np[:, :max_ess_chains, :], 0, 1)
         ess_pc = np.concatenate([
             np.asarray(effective_sample_size_ragged(
-                jnp.asarray(_x_pc[:, :, j:j + _dc]),
+                jnp.asarray(_x_pc[:, :, j:j + ess_dim_chunk]),
                 jnp.full((max_ess_chains,), thetas_np.shape[0]),
             ))
-            for j in range(0, dim, _dc)
+            for j in range(0, dim, ess_dim_chunk)
         ])
         extras = {"median_ess_perchain_est": round(
             float(np.median(ess_pc)) * (n_chains / max_ess_chains), 1),

@@ -196,6 +196,48 @@ def test_checkpoint_mismatch_raises(tmp_path):
         load_state(path, state_dense)
 
 
+def test_checkpoint_field_level_errors_and_legacy(tmp_path):
+    """Manifest validation names the offending FIELD; legacy (pre-manifest)
+    checkpoints whose treedef string drifted across JAX versions still load
+    on per-leaf shape validation (warning, not spurious failure)."""
+    import pytest
+
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.checkpoint import _LEGACY_TREEDEF_KEY, MANIFEST_KEY
+    from advancedhmc_tpu.sampler import SampleSpec
+
+    target = std_gaussian(D)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=False)
+    state = init_state(jax.random.PRNGKey(4), spec,
+                       make_metric("diagonal", D, dtype=jnp.float64),
+                       jnp.zeros((3, D), jnp.float64), init_eps=0.3)
+    path = str(tmp_path / "ck.npz")
+    save_state(path, state)
+
+    # chain-count mismatch → error message names the field path, not an index
+    state_5c = init_state(jax.random.PRNGKey(4), spec,
+                          make_metric("diagonal", D, dtype=jnp.float64),
+                          jnp.zeros((5, D), jnp.float64), init_eps=0.3)
+    with pytest.raises(ValueError, match=r"z\.theta"):
+        load_state(path, state_5c)
+
+    # simulate a version-skew legacy checkpoint: manifest replaced by a
+    # treedef string that does NOT match the current JAX's rendering
+    data = dict(np.load(path))
+    del data[MANIFEST_KEY]
+    data[_LEGACY_TREEDEF_KEY] = np.frombuffer(
+        b"PyTreeDef(some old rendering)", dtype=np.uint8
+    )
+    legacy_path = str(tmp_path / "legacy.npz")
+    np.savez(legacy_path, **data)
+    with pytest.warns(UserWarning, match="legacy treedef"):
+        restored = load_state(legacy_path, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.z.theta), np.asarray(state.z.theta)
+    )
+
+
 def test_diagnostics_sanity():
     rng = np.random.default_rng(0)
     iid = rng.normal(size=(1000, 4, 3))
