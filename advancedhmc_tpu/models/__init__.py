@@ -12,6 +12,8 @@ from .logistic import (german_credit_logistic, hierarchical_logistic,
                        hierarchical_logistic_nc)
 from .mixtures import gaussian_mixture, two_gaussian_mixtures_2d
 from .spiral import spiral
+from . import dists
+from .dists import gdemo_declarative, joint_target, target_of
 
 __all__ = [
     "std_gaussian",
@@ -28,4 +30,8 @@ __all__ = [
     "gaussian_mixture",
     "two_gaussian_mixtures_2d",
     "spiral",
+    "dists",
+    "target_of",
+    "joint_target",
+    "gdemo_declarative",
 ]

@@ -234,3 +234,80 @@ def test_hierarchical_logistic_nc_matches_centered():
         th_n = jnp.asarray(np.concatenate([[ls], beta / np.exp(ls)]))
         d = float(tn.logdensity(th_n)) - p * ls - float(tc.logdensity(th_c))
         assert abs(d) < 1e-9, d
+
+
+# --- declarative distribution library (models/dists.py) -------------------
+# ≅ the reference's generic Distributions→target fixture and conjugate model
+# (/root/reference/test/common.jl:18-31,91-110)
+
+def test_dists_logpdfs_match_scipy():
+    """Each distribution primitive matches scipy.stats at scattered points."""
+    import scipy.stats as st
+
+    from advancedhmc_tpu.models import dists as d
+
+    y = jnp.asarray([0.3, 1.2, 2.7], jnp.float64)
+    k = jnp.asarray([0.0, 1.0, 1.0], jnp.float64)
+    cases = [
+        (d.Normal(0.5, 2.0), y, st.norm(0.5, 2.0).logpdf),
+        (d.LogNormal(0.1, 0.7), y, st.lognorm(0.7, scale=np.exp(0.1)).logpdf),
+        (d.StudentT(4.0, 0.2, 1.5), y, st.t(4.0, 0.2, 1.5).logpdf),
+        (d.Cauchy(0.1, 0.9), y, st.cauchy(0.1, 0.9).logpdf),
+        (d.Laplace(0.4, 1.1), y, st.laplace(0.4, 1.1).logpdf),
+        (d.Exponential(1.7), y, st.expon(scale=1 / 1.7).logpdf),
+        (d.Gamma(2.5, 1.3), y, st.gamma(2.5, scale=1 / 1.3).logpdf),
+        (d.InverseGamma(2.0, 3.0), y, st.invgamma(2.0, scale=3.0).logpdf),
+        (d.Beta(2.0, 3.5), y / 3.0, st.beta(2.0, 3.5).logpdf),
+        (d.Uniform(-1.0, 4.0), y, st.uniform(-1.0, 5.0).logpdf),
+        (d.Poisson(2.2), k, st.poisson(2.2).logpmf),
+    ]
+    for dist, pts, ref in cases:
+        got = float(dist.logpdf(pts))
+        want = float(np.sum(ref(np.asarray(pts))))
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=repr(dist))
+    # BernoulliLogit: k·lg − log(1+e^lg) against scipy bernoulli
+    lg = np.asarray([-0.7, 0.0, 1.3])
+    got = float(d.BernoulliLogit(jnp.asarray(lg)).logpdf(k))
+    p = 1 / (1 + np.exp(-lg))
+    want = float(np.sum(st.bernoulli(p).logpmf(np.asarray(k, int))))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Dirichlet over a simplex point
+    simplex_y = jnp.asarray([0.2, 0.3, 0.5], jnp.float64)
+    got = float(d.Dirichlet((1.5, 2.0, 3.0)).logpdf(simplex_y))
+    want = float(st.dirichlet([1.5, 2.0, 3.0]).logpdf(np.asarray(simplex_y)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_target_of_gamma_moments():
+    """target_of(Gamma) samples the right distribution through the default
+    Positive transform (≅ LogDensityDistribution, common.jl:18-31)."""
+    from advancedhmc_tpu.models.dists import Gamma, target_of
+
+    target = target_of(Gamma(3.0, 2.0), size=4)
+    res = NUTS(0.8).sample(
+        jax.random.PRNGKey(11), target, jnp.zeros(4, jnp.float64),
+        3000, n_adapts=1000, n_chains=4, dtype=jnp.float64,
+    )
+    cons = np.exp(np.asarray(res.thetas[1000:])).reshape(-1, 4)
+    # Gamma(3, rate 2): mean 1.5, var 0.75
+    assert abs(cons.mean() - 1.5) < 0.15
+    assert abs(cons.var() - 0.75) < 0.25
+
+
+def test_gdemo_declarative_posterior_mean():
+    """The declaratively-composed gdemo reproduces the analytic posterior
+    mean (49/24, 7/6) — the conjugate-model fixture rebuilt from
+    distribution primitives (≅ common.jl:91-110)."""
+    from advancedhmc_tpu.models import gdemo_declarative
+
+    target = gdemo_declarative()
+    res = NUTS(0.8).sample(
+        jax.random.PRNGKey(12), target, jnp.zeros(2, jnp.float64),
+        3000, n_adapts=1000, n_chains=4, dtype=jnp.float64,
+    )
+    # constrained export path: names + invlink through the carried transforms
+    post = res.to_inference_dict(constrained=True)["posterior"]
+    s_draws = post["s"][:, 1000:]
+    m_draws = post["m"][:, 1000:]
+    assert abs(float(np.mean(s_draws)) - GDEMO_MEAN[0]) < RNDATOL
+    assert abs(float(np.mean(m_draws)) - GDEMO_MEAN[1]) < RNDATOL
