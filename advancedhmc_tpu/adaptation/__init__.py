@@ -13,6 +13,7 @@ from .stepsize import (
     da_update,
 )
 from .massmatrix import (
+    LowRankCovState,
     NaiveCov,
     NaiveVar,
     NutpieVarState,
@@ -22,6 +23,7 @@ from .massmatrix import (
 )
 from .chees import CheesConfig, CheesState, chees_update, halton_sequence
 from .stan import (
+    MM_LOWRANK,
     MM_NUTPIE,
     MM_UNIT,
     MM_WELFORD_COV,
@@ -52,6 +54,7 @@ __all__ = [
     "da_update",
     "NaiveCov",
     "NaiveVar",
+    "LowRankCovState",
     "NutpieVarState",
     "UnitMassMatrixState",
     "WelfordCovState",
@@ -63,6 +66,7 @@ __all__ = [
     "adapt_step",
     "adapt_step_batch",
     "stan_schedule",
+    "MM_LOWRANK",
     "MM_NUTPIE",
     "MM_UNIT",
     "MM_WELFORD_COV",

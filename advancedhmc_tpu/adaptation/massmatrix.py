@@ -157,6 +157,132 @@ class WelfordCovState(struct.PyTreeNode):
         return self.cov
 
 
+class LowRankCovState(struct.PyTreeNode):
+    """Rank-preserving low-rank + diagonal covariance estimator for the
+    RankUpdateEuclideanMetric (M⁻¹ = diag(A) + B·D·Bᵀ).
+
+    The reference's rank-update metric (/root/reference/src/metric.jl:155-245)
+    carries an externally supplied (Pathfinder-style) factorisation but has no
+    adaptor that can PRODUCE one — its `renew` path would degrade it to a
+    diagonal. This estimator closes that gap natively: full Welford covariance
+    moments (same recursions as WelfordCovState, ref massmatrix.jl:284-340)
+    plus an estimate step that extracts the top-k eigenpairs of the
+    DIAGONALLY-WHITENED covariance,
+
+        Σ = shrunk(M2);  A = diag(Σ);  S = A^{-1/2} Σ A^{-1/2}
+        eigh(S) → (λ, V);  keep the k λ's furthest from 1 (|log λ|)
+        B = √A · V_k,  D = diag(λ_k − 1)
+
+    so that diag(A) + B·D·Bᵀ = √A (I + V_k(Λ_k−I)V_kᵀ) √A — exactly Σ when
+    k = D, positive-definite for ANY k (the whitened eigenvalues satisfy
+    λ ≥ 0, and shrinkage keeps them strictly positive, so I + V(Λ−I)Vᵀ has
+    spectrum {λ_k, 1} ≻ 0). Selecting by |log λ| keeps both overdispersed
+    AND compressed directions — the ones that hurt conditioning.
+
+    The estimate is the (a_diag, b, d) triple consumed by
+    `RankUpdateEuclideanMetric.renew`; all shapes are static in k so the
+    state threads through lax.scan carries unchanged.
+    """
+
+    n: jnp.ndarray
+    mean: jnp.ndarray     # (dim,)
+    m2: jnp.ndarray       # (dim, dim)
+    a_diag: jnp.ndarray   # (dim,) current diagonal of M⁻¹
+    b: jnp.ndarray        # (dim, k)
+    d: jnp.ndarray        # (k,) diagonal of the low-rank factor D
+    rank: int = struct.field(pytree_node=False, default=8)
+    n_min: int = struct.field(pytree_node=False, default=N_MIN_DEFAULT)
+
+    @classmethod
+    def init(cls, dim, dtype=jnp.float32, n_min=N_MIN_DEFAULT, rank=8):
+        rank = min(rank, dim)
+        return cls(
+            n=jnp.zeros((), jnp.int32),
+            mean=jnp.zeros((dim,), dtype),
+            m2=jnp.zeros((dim, dim), dtype),
+            a_diag=jnp.ones((dim,), dtype),
+            b=jnp.zeros((dim, rank), dtype),
+            d=jnp.zeros((rank,), dtype),
+            rank=rank,
+            n_min=n_min,
+        )
+
+    def push(self, x):
+        n = self.n + 1
+        nf = n.astype(x.dtype)
+        delta = x - self.mean
+        mean = self.mean + delta / nf
+        m2 = self.m2 + jnp.outer(x - mean, delta)
+        return self.replace(n=n, mean=mean, m2=m2)
+
+    def push_batch(self, xs):
+        c = xs.shape[0]
+        cf = jnp.asarray(c, xs.dtype)
+        b_mean = jnp.mean(xs, axis=0)
+        centred = xs - b_mean[None, :]
+        b_m2 = centred.T @ centred
+        n0f = self.n.astype(xs.dtype)
+        n_new = self.n + c
+        nf = n0f + cf
+        delta = b_mean - self.mean
+        mean = self.mean + delta * (cf / nf)
+        m2 = self.m2 + b_m2 + jnp.outer(delta, delta) * (n0f * cf / nf)
+        return self.replace(n=n_new, mean=mean, m2=m2)
+
+    def update_estimate(self, n_refine: int = 3):
+        ok = self.n >= self.n_min
+        dim = self.m2.shape[-1]
+        sigma = _shrunk(self.n, self.m2, jnp.eye(dim, dtype=self.m2.dtype))
+        # guard against the n∈{0,1} NaN (inf·0 in the shrinkage factor):
+        # masked out by `ok` below, but eigh must still see finite input
+        sigma = jnp.where(jnp.isfinite(sigma), sigma, jnp.eye(
+            dim, dtype=self.m2.dtype))
+        sig_diag = jnp.clip(jnp.diagonal(sigma), 1e-10)
+
+        def factor(a):
+            inv_sqrt_a = 1.0 / jnp.sqrt(a)
+            s = inv_sqrt_a[:, None] * sigma * inv_sqrt_a[None, :]
+            lam, v = jnp.linalg.eigh(s)
+            lam = jnp.clip(lam, 1e-8)
+            score = jnp.abs(jnp.log(lam))
+            idx = jnp.argsort(-score)[: self.rank]
+            lam_k = lam[idx]
+            v_k = jnp.take(v, idx, axis=1)
+            b = jnp.sqrt(a)[:, None] * v_k
+            d = lam_k - 1.0
+            return b, d
+
+        # Fixed-point refinement of the diagonal: A starts at diag(Σ) (which
+        # over-counts variance lying IN the captured subspace) and is re-fit
+        # to the diagonal of the residual Σ − B·D·Bᵀ each pass — for a true
+        # diag + rank-k covariance this converges to the exact split
+        # (S − I = A^{-1/2}·UΛUᵀ·A^{-1/2} is exactly rank k at the fixed
+        # point, so the top-k eigenpairs reconstruct Σ with zero error).
+        a = sig_diag
+        b_new, d_new = factor(a)
+        for _ in range(n_refine):
+            low_diag = jnp.sum(jnp.square(b_new) * d_new[None, :], axis=1)
+            a = jnp.clip(sig_diag - low_diag, 1e-10)
+            b_new, d_new = factor(a)
+        return self.replace(
+            a_diag=jnp.where(ok, a, self.a_diag),
+            b=jnp.where(ok, b_new, self.b),
+            d=jnp.where(ok, d_new, self.d),
+        )
+
+    def reset(self):
+        return self.replace(
+            n=jnp.zeros_like(self.n),
+            mean=jnp.zeros_like(self.mean),
+            m2=jnp.zeros_like(self.m2),
+        )
+
+    @property
+    def m_inv(self):
+        """(a_diag, b, d) triple for RankUpdateEuclideanMetric.renew."""
+        return (self.a_diag, self.b, self.d)
+
+
 class NutpieVarState(struct.PyTreeNode):
     """Nutpie-style estimator: sqrt(var(θ)/var(∇ℓπ)) from paired position and
     gradient Welford estimators (ref massmatrix.jl:172-250)."""

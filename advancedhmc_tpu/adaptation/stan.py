@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .massmatrix import (
+    LowRankCovState,
     NutpieVarState,
     UnitMassMatrixState,
     WelfordCovState,
@@ -33,6 +34,7 @@ MM_UNIT = "unit"
 MM_WELFORD_VAR = "welford_var"
 MM_WELFORD_COV = "welford_cov"
 MM_NUTPIE = "nutpie"
+MM_LOWRANK = "lowrank"         # rank-preserving, for RankUpdate metrics
 
 # adaptor kinds
 NONE = "none"                  # NoAdaptation (ref Adaptation.jl:28)
@@ -50,6 +52,9 @@ class AdaptorConfig:
     init_buffer: int = 75
     term_buffer: int = 50
     window_size: int = 25
+    # rank of the low-rank estimator (mm_kind == "lowrank" only); must match
+    # the RankUpdateEuclideanMetric's rank so scan carries stay static-shaped
+    mm_rank: int = 8
 
     @property
     def uses_da(self):
@@ -76,9 +81,13 @@ class AdaptState(struct.PyTreeNode):
 
     @classmethod
     def init(cls, cfg: AdaptorConfig, dim: int, eps0, dtype=jnp.float32):
+        if cfg.mm_kind == MM_LOWRANK:
+            mm = LowRankCovState.init(dim, dtype, rank=cfg.mm_rank)
+        else:
+            mm = _MM_INITS[cfg.mm_kind](dim, dtype)
         return cls(
             da=DualAveragingState.init(jnp.asarray(eps0, dtype)),
-            mm=_MM_INITS[cfg.mm_kind](dim, dtype),
+            mm=mm,
         )
 
 

@@ -213,11 +213,14 @@ class RankUpdateEuclideanMetric(Metric):
         return cls(a_diag=a_diag, b=b, d=d, q_full=q_full, v_upper=v_upper)
 
     @classmethod
-    def identity(cls, dim, dtype=jnp.float32):
+    def identity(cls, dim, dtype=jnp.float32, rank=0):
+        """M⁻¹ = I carried at the given rank (B = 0): rank > 0 reserves
+        static-shaped low-rank slots so an adapting run (mm_kind='lowrank')
+        can renew in place without changing the pytree structure."""
         return cls.create(
             jnp.ones((dim,), dtype=dtype),
-            jnp.zeros((dim, 0), dtype=dtype),
-            jnp.zeros((0, 0), dtype=dtype),
+            jnp.zeros((dim, rank), dtype=dtype),
+            jnp.zeros((rank, rank), dtype=dtype),
         )
 
     @property
@@ -258,11 +261,28 @@ class RankUpdateEuclideanMetric(Metric):
         return -0.5 * quad
 
     def renew(self, m_inv):
-        # Adaptation produces a diagonal estimate; fold it into A and keep rank-0.
+        """Rank-PRESERVING renew.
+
+        A low-rank estimate — the (a_diag, b, d) triple produced by
+        `adaptation.massmatrix.LowRankCovState` — rebuilds the full
+        Woodbury factorisation at the same rank (d may be the (k,) diagonal
+        of D or a full (k, k) matrix). A plain diagonal estimate (from the
+        Welford-var/Nutpie estimators) folds into A with the low-rank part
+        zeroed AT THE CURRENT RANK, so the pytree structure is unchanged
+        either way (scan-carry safe). Mirrors the role of `renew` at
+        /root/reference/src/metric.jl:263-267 but actually preserves the
+        low-rank structure the reference's metric exists to carry."""
+        if isinstance(m_inv, (tuple, list)):
+            a, b, d = m_inv
+            d = jnp.asarray(d)
+            if d.ndim == 1:
+                d = jnp.diag(d)
+            return RankUpdateEuclideanMetric.create(jnp.asarray(a),
+                                                    jnp.asarray(b), d)
         return RankUpdateEuclideanMetric.create(
             jnp.asarray(m_inv),
-            jnp.zeros((self.dim, 0), dtype=self.dtype),
-            jnp.zeros((0, 0), dtype=self.dtype),
+            jnp.zeros((self.dim, self.rank), dtype=self.dtype),
+            jnp.zeros((self.rank, self.rank), dtype=self.dtype),
         )
 
     def m_inv_matrix(self):
@@ -280,9 +300,10 @@ AnyMetric = Union[
 ]
 
 
-def make_metric(kind: str, dim: int, dtype=jnp.float32) -> Metric:
+def make_metric(kind: str, dim: int, dtype=jnp.float32, rank: int = 0) -> Metric:
     """Symbol-style shorthand, mirroring :unit/:diagonal/:dense resolution at
-    /root/reference/src/abstractmcmc.jl:374-391."""
+    /root/reference/src/abstractmcmc.jl:374-391. `rank` (rank_update only)
+    reserves low-rank slots for an adapting run (mm_kind='lowrank')."""
     if kind in ("unit",):
         return UnitEuclideanMetric(size=dim, _dtype=dtype)
     if kind in ("diag", "diagonal"):
@@ -290,5 +311,5 @@ def make_metric(kind: str, dim: int, dtype=jnp.float32) -> Metric:
     if kind in ("dense",):
         return DenseEuclideanMetric.identity(dim, dtype=dtype)
     if kind in ("rank_update", "rankupdate"):
-        return RankUpdateEuclideanMetric.identity(dim, dtype=dtype)
+        return RankUpdateEuclideanMetric.identity(dim, dtype=dtype, rank=rank)
     raise ValueError(f"unknown metric kind: {kind!r}")

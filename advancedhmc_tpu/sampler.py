@@ -591,6 +591,26 @@ def init_state(
     elif init_mass_matrix != "identity":
         raise ValueError(f"unknown init_mass_matrix {init_mass_matrix!r}")
 
+    if spec.adaptor.uses_mm and spec.adaptor.mm_kind == "lowrank":
+        # The low-rank estimator renews (a_diag, b, d) at rank mm_rank; the
+        # metric must carry matching static-shaped slots for scan carries.
+        from .metrics import RankUpdateEuclideanMetric as _RUM
+
+        if not isinstance(metric, _RUM):
+            raise ValueError(
+                "mm_kind='lowrank' adapts a RankUpdateEuclideanMetric; got "
+                f"{type(metric).__name__}"
+            )
+        k = min(spec.adaptor.mm_rank, metric.dim)
+        if metric.rank != k:
+            if metric.rank != 0:
+                raise ValueError(
+                    f"metric rank {metric.rank} != adaptor mm_rank {k}; "
+                    "pass make_metric('rank_update', dim, rank=mm_rank) or "
+                    "a rank-0 identity (auto-upgraded)"
+                )
+            metric = _RUM.identity(metric.dim, dtype=metric.dtype, rank=k)
+
     key, k_eps, k_mom = jax.random.split(key, 3)
     h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
 
