@@ -68,6 +68,15 @@ def test_two_process_matches_single_process(tmp_path):
     np.testing.assert_allclose(multi["thetas"], golden["thetas"],
                                rtol=1e-7, atol=1e-9)
     assert multi["total_steps"] == golden["total_steps"]
+    # fused production path (batch-explicit while_loop + block-replayed
+    # cross-chain adaptation) across the process boundary
+    np.testing.assert_allclose(multi["fused_eps"], golden["fused_eps"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(multi["fused_m_inv"], golden["fused_m_inv"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(multi["fused_thetas"], golden["fused_thetas"],
+                               rtol=1e-7, atol=1e-9)
+    assert multi["fused_steps"] == golden["fused_steps"]
 
     # sanity: the run actually sampled (adapted eps, moved chains)
     assert golden["eps"] > 0
@@ -85,6 +94,15 @@ def test_four_process_matches_single_process(tmp_path):
     np.testing.assert_allclose(multi["thetas"], golden["thetas"],
                                rtol=1e-7, atol=1e-9)
     assert multi["total_steps"] == golden["total_steps"]
+    # fused production path (batch-explicit while_loop + block-replayed
+    # cross-chain adaptation) across the process boundary
+    np.testing.assert_allclose(multi["fused_eps"], golden["fused_eps"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(multi["fused_m_inv"], golden["fused_m_inv"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(multi["fused_thetas"], golden["fused_thetas"],
+                               rtol=1e-7, atol=1e-9)
+    assert multi["fused_steps"] == golden["fused_steps"]
 
 
 def test_distributed_init_reraises_real_failures(monkeypatch):
