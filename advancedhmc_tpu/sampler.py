@@ -172,7 +172,8 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
-                     unroll: int = 1, progress_cb=None, experimental=None):
+                     unroll: int = 1, progress_cb=None, experimental=None,
+                     chain_chunks: int = 1):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -188,6 +189,16 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     `experimental` (an `experimental.Experimental`) opts into the measured-
     but-not-adopted loop layouts (packed carry, segmented collection, bf16
     out buffers) — see that module's doc for the evidence per knob.
+
+    `chain_chunks=S` splits the chain batch into S sequential sub-batches
+    INSIDE each fused dispatch (a lax.scan over chunks of the batch-explicit
+    while-loop), dividing the resident loop carry by S — the mitigation for
+    the 8192-chain VMEM-spill cliff (PERF.md chain-count rows). Draw-phase
+    chains are independent with adaptation frozen, so the chunked result is
+    BIT-IDENTICAL to the unchunked one (pinned by tests/test_collect.py);
+    only the carry residency and the per-chunk max-over-chains loop count
+    change. Requires the batch-explicit layout (batched metrics) and
+    chain_chunks | n_chains.
     """
     if experimental is None:
         from .experimental import Experimental as _Exp
@@ -229,15 +240,50 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
     use_batched = unroll == 1 and (
         not per_chain or isinstance(state.metric, (_Diag, _Unit, _Dense))
     )
+    if chain_chunks > 1:
+        assert use_batched, (
+            "chain_chunks requires the batch-explicit fused layout "
+            "(unroll=1 and a unit/diag/dense or shared metric)"
+        )
+        assert n_chains % chain_chunks == 0, (
+            "chain_chunks must divide the chain count"
+        )
+
+    def _chunked(tree, s):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((s, x.shape[0] // s) + x.shape[1:]), tree
+        )
+
+    def _unchunked(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]),
+            tree,
+        )
 
     def outer(carry, _):
         st, om = carry
         key, k_step = jax.random.split(st.key)
         keys = jax.random.split(k_step, n_chains)
         if use_batched and not per_chain:
-            z_last, ths, stats = one_chain(
-                keys, st.metric, st.adapt.da.eps, st.z, batched=True
-            )
+            if chain_chunks > 1:
+                def chunk_body(_, xs):
+                    k_c, z_c = xs
+                    return None, one_chain(
+                        k_c, st.metric, st.adapt.da.eps, z_c, batched=True
+                    )
+
+                _, (zl, ths, stats) = jax.lax.scan(
+                    chunk_body, None,
+                    (_chunked(keys, chain_chunks),
+                     _chunked(st.z, chain_chunks)),
+                )
+                z_last = _unchunked(zl)
+                ths = _unchunked(ths)
+                stats = _unchunked(stats)
+            else:
+                z_last, ths, stats = one_chain(
+                    keys, st.metric, st.adapt.da.eps, st.z, batched=True
+                )
         elif use_batched:
             eps_c = st.adapt.da.eps          # (C,)
             if isinstance(st.metric, (_Diag, _Dense)):
@@ -245,10 +291,36 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                 metric_b = st.metric
             else:                            # unit: no array leaves
                 metric_t, metric_b = st.metric, None
-            z_last, ths, stats = one_chain(
-                keys, metric_t, eps_c[0], st.z, batched=True,
-                metric_batch=metric_b, eps_batch=eps_c,
-            )
+            if chain_chunks > 1:
+                xs = (_chunked(keys, chain_chunks),
+                      _chunked(st.z, chain_chunks),
+                      _chunked(eps_c, chain_chunks))
+                metric_ch = (None if metric_b is None
+                             else _chunked(metric_b, chain_chunks))
+
+                def chunk_body(_, xs_i):
+                    if metric_ch is not None:
+                        k_c, z_c, e_c, m_c = xs_i
+                    else:
+                        k_c, z_c, e_c = xs_i
+                        m_c = None
+                    return None, one_chain(
+                        k_c, metric_t, e_c[0], z_c, batched=True,
+                        metric_batch=m_c, eps_batch=e_c,
+                    )
+
+                _, (zl, ths, stats) = jax.lax.scan(
+                    chunk_body, None,
+                    xs + (metric_ch,) if metric_ch is not None else xs,
+                )
+                z_last = _unchunked(zl)
+                ths = _unchunked(ths)
+                stats = _unchunked(stats)
+            else:
+                z_last, ths, stats = one_chain(
+                    keys, metric_t, eps_c[0], st.z, batched=True,
+                    metric_batch=metric_b, eps_batch=eps_c,
+                )
         else:
             z_last, ths, stats = jax.vmap(
                 one_chain, in_axes=(0, batch_axis, batch_axis, 0)
@@ -851,6 +923,7 @@ def sample(
     cross_chain: bool = False,
     coupled: bool = False,
     fuse_draws: int = 0,
+    fuse_chain_chunks: int = 1,
     fuse_warmup: bool = False,
     fuse_warmup_block: int = 8,
     thin: int = 1,
@@ -1131,11 +1204,12 @@ def sample(
         fused_cb = _progress_cb if progress else None
         if use_fused and online:
             return fused_draw_phase(spec, state, n_draw_steps, fuse_draws,
-                                    online_om=om0, progress_cb=fused_cb)
+                                    online_om=om0, progress_cb=fused_cb,
+                                    chain_chunks=fuse_chain_chunks)
         if use_fused:
             state, thetas, stats = fused_draw_phase(
                 spec, state, n_draw_steps, fuse_draws, thin,
-                progress_cb=fused_cb,
+                progress_cb=fused_cb, chain_chunks=fuse_chain_chunks,
             )
             return state, thetas, stats, None
         if online:

@@ -275,13 +275,18 @@ def main():
     use_ragged = ragged > 1.0
     t_max_r = int(round(chunk * ragged))
 
+    # chain-chunked draws (VMEM-spill mitigation at 8192+ chains): S
+    # sequential sub-batches inside each dispatch; bit-identical stream
+    chain_chunks = int(os.environ.get("AHMC_BENCH_CHAIN_CHUNKS", 1))
+
     @jax.jit
     def run_chunk_fused(state):
         from advancedhmc_tpu.experimental import Experimental
         new_st, thetas, stats = fused_draw_phase(
             spec, state, chunk, fuse, unroll=unroll,
             experimental=Experimental(out_dtype=out_dtype, stage_slots=stage,
-                                      pack_carry=pack_carry))
+                                      pack_carry=pack_carry),
+            chain_chunks=chain_chunks)
         return new_st, (thetas, stats["n_steps"],
                         jnp.sum(stats["numerical_error"]),
                         jnp.mean(stats["acceptance_rate"]))

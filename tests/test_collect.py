@@ -157,3 +157,45 @@ def test_thin_fused_matches_fused_stream():
     np.testing.assert_allclose(
         np.asarray(thinned.thetas), np.asarray(full.thetas[3::4]), rtol=1e-12
     )
+
+
+def test_chain_chunked_fused_draws_bit_identical():
+    """chain_chunks=S (the 8192-chain VMEM-spill mitigation) is a pure
+    residency change: draw-phase chains are independent with adaptation
+    frozen, so the chunked stream must equal the unchunked one exactly —
+    draws, stats, and final state."""
+    full = _run(n_samples=32, n_adapts=0, fuse_draws=8)
+    for s in (2, 4):
+        chunked = _run(n_samples=32, n_adapts=0, fuse_draws=8,
+                       fuse_chain_chunks=s)
+        np.testing.assert_array_equal(
+            np.asarray(chunked.thetas), np.asarray(full.thetas)
+        )
+        for k in full.stats:
+            np.testing.assert_array_equal(
+                np.asarray(chunked.stats[k]), np.asarray(full.stats[k]),
+                err_msg=k,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(chunked.final_state.z.theta),
+            np.asarray(full.final_state.z.theta),
+        )
+
+
+def test_chain_chunked_cross_chain_and_online():
+    """Chunking composes with the cross-chain (shared-metric) layout and
+    online collection."""
+    full = _run(n_samples=32, n_adapts=0, fuse_draws=8, cross_chain=True)
+    chunked = _run(n_samples=32, n_adapts=0, fuse_draws=8, cross_chain=True,
+                   fuse_chain_chunks=4)
+    np.testing.assert_array_equal(
+        np.asarray(chunked.thetas), np.asarray(full.thetas)
+    )
+    online = _run(n_samples=32, n_adapts=0, fuse_draws=8,
+                  fuse_chain_chunks=2, collect="online")
+    stored = _run(n_samples=32, n_adapts=0, fuse_draws=8)
+    np.testing.assert_allclose(
+        np.asarray(online.online["mean"]),
+        np.asarray(stored.thetas).mean(0),
+        rtol=1e-10,
+    )
