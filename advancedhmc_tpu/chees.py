@@ -103,6 +103,21 @@ def chees_transition(key, target, metric, eps, tau, max_steps,
     return (theta_new, lp_new, grad_new), (theta1, v_prop, alpha), stats
 
 
+def chees_tau_sweep(n_total: int, n_adapts: int, boost: float = 8.0,
+                    frac: float = 0.5) -> np.ndarray:
+    """Long→converged warmup τ-schedule: an (n_total,) multiplier on the
+    adapted mean trajectory length, decaying geometrically from `boost` to 1
+    over the first `frac` of warmup and 1 thereafter. Long early
+    trajectories explore multiscale geometry (e.g. the funnel mouth) before
+    the SGA settles; the SGA still adapts on the ACTUAL τ used, so the
+    finalized T is unaffected by the sweep tail. Pass as
+    `sample_chees(..., t_schedule=...)`."""
+    sched = np.ones(n_total)
+    n_sweep = max(1, int(n_adapts * frac))
+    sched[:n_sweep] = boost ** (1.0 - np.arange(n_sweep) / n_sweep)
+    return sched
+
+
 def make_chees_step(target, cfg: AdaptorConfig, chees: CheesConfig,
                     max_steps: int):
     """Build the per-iteration scan step shared by `sample_chees` and
@@ -110,18 +125,24 @@ def make_chees_step(target, cfg: AdaptorConfig, chees: CheesConfig,
     respect the TPU tunnel's per-execution limit).
 
     carry = (theta, lp, grad, metric, AdaptState, CheesState, key);
-    xs = (flags_slice, u) with u the Halton jitter for the iteration.
+    xs = (flags_slice, u) with u the Halton jitter for the iteration, or
+    (flags_slice, u, s) with s a per-iteration τ multiplier (the warmup
+    sweep of `chees_tau_sweep`).
     """
 
     def step(carry, xs):
         theta, lp, grad, metric_c, adapt, cs, k = carry
-        f, u = xs
+        if len(xs) == 3:
+            f, u, s = xs
+        else:
+            f, u = xs
+            s = jnp.ones(())
         k, k_tr = jax.random.split(k)
         is_adapt = f["is_adapt"]
         # post-warmup uses the finalized (iterate-averaged) T
         t_mean = jnp.where(is_adapt, cs.trajectory_length,
                            jnp.exp(cs.log_t_avg))
-        tau = u * t_mean
+        tau = u * t_mean * s
         (theta_n, lp_n, grad_n), (theta_p, v_p, alpha), stats = (
             chees_transition(k_tr, target, metric_c, adapt.da.eps, tau,
                              max_steps, theta, lp, grad)
@@ -196,6 +217,7 @@ def sample_chees(
     mm_kind: str = "welford_var",
     max_steps: int = 1024,
     drop_warmup: bool = False,
+    t_schedule=None,
 ) -> SampleResult:
     """ChEES-HMC over a chain batch (many chains strongly recommended —
     the criterion centers on cross-chain means).
@@ -204,6 +226,18 @@ def sample_chees(
     AdaptState, CheesState, key) tuple of the scan carry. The adapted mean
     trajectory length is in `result.stats["trajectory_length"]` (post-warmup
     rows hold the finalized T·u_m values).
+
+    `t_schedule` ((n_samples,) multipliers, or the string "sweep" for
+    `chees_tau_sweep`'s long→converged warmup schedule) scales τ per
+    iteration during warmup — multiscale-geometry exploration aid.
+
+    Hard-geometry guidance (funnels and similar): pair ChEES with
+    `da=DualAveragingConfig(delta=0.95)` and a large `init_t` exactly as the
+    NUTS funnel config does (VALIDATION.md config 3) — at the default
+    δ=0.651 the adapted step size is too coarse for the neck and the v
+    marginal biases high (measured; gated by tests/test_chees.py). Where a
+    non-centered reparameterisation exists (e.g. models.neal_funnel_nc) it
+    remains the strictly better fix for ANY fixed-step sampler.
     """
     import dataclasses as _dc
 
@@ -238,7 +272,19 @@ def sample_chees(
     step = make_chees_step(target, cfg, chees, max_steps)
 
     carry0 = (theta, lp, grad, metric, adapt, cheesst, key)
-    carry, (thetas, stats) = jax.lax.scan(step, carry0, (flags, u_all))
+    if t_schedule is not None:
+        if isinstance(t_schedule, str):
+            if t_schedule != "sweep":
+                raise ValueError(f"unknown t_schedule {t_schedule!r}")
+            t_schedule = chees_tau_sweep(n_samples, n_adapts)
+        sched = jnp.asarray(t_schedule, dtype)
+        if sched.shape != (n_samples,):
+            raise ValueError("t_schedule must have one multiplier per "
+                             "iteration")
+        xs = (flags, u_all, sched)
+    else:
+        xs = (flags, u_all)
+    carry, (thetas, stats) = jax.lax.scan(step, carry0, xs)
 
     warmup_stats = None
     if drop_warmup and n_adapts > 0:

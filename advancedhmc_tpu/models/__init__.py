@@ -4,7 +4,7 @@ banana, gdemo, hierarchical logistic regression.
 """
 
 from .gaussian import correlated_gaussian, mvn_diag, std_gaussian
-from .funnel import neal_funnel
+from .funnel import funnel_nc_to_centered, neal_funnel, neal_funnel_nc
 from .banana import banana
 from .eight_schools import eight_schools
 from .gdemo import GDEMO_MEAN, gdemo
@@ -20,6 +20,8 @@ __all__ = [
     "mvn_diag",
     "correlated_gaussian",
     "neal_funnel",
+    "neal_funnel_nc",
+    "funnel_nc_to_centered",
     "banana",
     "gdemo",
     "eight_schools",

@@ -38,7 +38,7 @@ def _synthetic_data(n: int, p: int, seed: int = 0):
 
 def hierarchical_logistic(
     n: int = 1000, p: int = 24, seed: int = 0, dtype=jnp.float32,
-    resid_dtype=None, fused=False,
+    resid_dtype=None, fused=False, x_dtype=None,
 ) -> LogDensityTarget:
     """`resid_dtype` (e.g. "bfloat16") stores the Bernoulli residual
     y − σ(logits) — the only tensor crossing the fwd→grad fusion boundary —
@@ -47,11 +47,30 @@ def hierarchical_logistic(
     stays exact float32; a reduced-precision gradient only perturbs the
     leapfrog flow, which remains reversible and volume-preserving, so the
     sampler is still exact (acceptance, not correctness, absorbs the
-    rounding). Residuals are bounded in [−1, 1] — ideal for bf16."""
+    rounding). Residuals are bounded in [−1, 1] — ideal for bf16.
+
+    `x_dtype` (e.g. "bfloat16") stores the DESIGN MATRIX reduced-precision
+    (the dominant HBM fetch at large p: x is (n, p) and read once per
+    gradient); both model matmuls accumulate in float32 via
+    preferred_element_type, so only the 8-bit-mantissa rounding of the
+    standardised covariates enters — a data perturbation, not a sampler
+    approximation (the perturbed posterior is sampled exactly)."""
     x_np, y_np = _synthetic_data(n, p, seed)
-    x = jnp.asarray(x_np, dtype)
+    x = jnp.asarray(x_np, x_dtype if x_dtype is not None else dtype)
     y = jnp.asarray(y_np, dtype)
     dim = p + 1
+
+    # x-side matmuls accumulate at model precision (≥ f32) regardless of
+    # the x storage dtype (bf16 inputs, f32 accumulation on the MXU)
+    _acc_t = jnp.promote_types(jnp.float32, dtype)
+
+    def _matvec(a, b):
+        import jax as _jax
+
+        return _jax.lax.dot_general(
+            a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=_acc_t,
+        ).astype(dtype)
 
     def logdensity(theta):
         log_sigma = theta[0]
@@ -59,7 +78,7 @@ def hierarchical_logistic(
         sigma2 = jnp.exp(2.0 * log_sigma)
         lp = -0.5 * jnp.square(log_sigma)                       # log σ ~ N(0,1)
         lp = lp - 0.5 * jnp.sum(jnp.square(beta)) / sigma2 - p * log_sigma
-        logits = x @ beta
+        logits = _matvec(x, beta.astype(x.dtype))
         # Bernoulli log likelihood: y·logit − log(1+e^logit), stable form
         lp = lp + jnp.sum(y * logits - jnp.logaddexp(0.0, logits))
         return lp
@@ -71,14 +90,15 @@ def hierarchical_logistic(
         beta = theta[1:]
         inv_s2 = jnp.exp(-2.0 * log_sigma)
         bsq = jnp.sum(jnp.square(beta))
-        logits = x @ beta
+        logits = _matvec(x, beta.astype(x.dtype))
         lp = (-0.5 * jnp.square(log_sigma) - 0.5 * bsq * inv_s2
               - p * log_sigma
               + jnp.sum(y * logits - jnp.logaddexp(0.0, logits)))
         resid = y - _jax.nn.sigmoid(logits)
         if resid_dtype is not None:
             resid = resid.astype(resid_dtype)
-        grad_beta = (resid @ x).astype(theta.dtype) - beta * inv_s2
+        grad_beta = _matvec(resid.astype(x.dtype), x).astype(
+            theta.dtype) - beta * inv_s2
         grad_ls = -log_sigma + bsq * inv_s2 - p
         return lp, jnp.concatenate([grad_ls[None], grad_beta])
 

@@ -137,6 +137,7 @@ def main():
         target = hierarchical_logistic(
             n=1000, p=dim - 1, dtype=jnp.float32,
             resid_dtype=os.environ.get("AHMC_BENCH_RESID_DTYPE") or None,
+            x_dtype=os.environ.get("AHMC_BENCH_X_DTYPE") or None,
         )
 
     # nutpie-style gradient-seeded M⁻¹: warmup 8.5s → 3.4s at bench shape
@@ -595,7 +596,10 @@ def main():
         ])
         ess_total = float(np.median(ess)) * (n_chains / max_ess_chains)
         min_ess_total = float(np.min(ess)) * (n_chains / max_ess_chains)
-        if os.environ.get("AHMC_BENCH_ESS_ALL") == "1":
+        # Default ON since r4 (VERDICT r3 weak #5): every bench run validates
+        # the 512-chain-subsample × (C/512) extrapolation against the
+        # all-chains estimate and records the ratio. Set =0 to skip.
+        if os.environ.get("AHMC_BENCH_ESS_ALL", "1") == "1":
             # validate the subsample-× extrapolation directly on ALL chains.
             # ESS is per-dimension independent, so chunk the dim axis — the
             # full-batch FFT ((2n, C, D) complex intermediates) exhausts TPU
@@ -844,6 +848,11 @@ def main():
         "device": str(jax.devices()[0]),
         "n_devices": n_devices,
         "ess_per_s_total": round(ess_total / t_draw, 2),
+        # honesty metric (VERDICT r3 weak #2): the same ESS divided by the
+        # FULL wall including warmup execution — what a one-shot user pays.
+        # (warmup_load_s is one-time program load, reported separately.)
+        "ess_per_s_incl_warmup": round(
+            ess_total / (t_warm + t_draw) / n_devices, 2),
         **extras,
         **chees_extras,
     }

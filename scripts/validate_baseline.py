@@ -126,9 +126,30 @@ def config5():
                                     theta1_std=float(draws[:, 0].std())))
 
 
+def config6():
+    """ChEES on the centered funnel — the hard-geometry pairing (δ=0.95,
+    long init_t, warmup τ sweep) must pass the config-3 v gates (VERDICT r3
+    'next' #2; CPU twin in tests/test_chees.py)."""
+    from advancedhmc_tpu.adaptation import DualAveragingConfig
+
+    target = neal_funnel(10)
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(61), (512, 10),
+                                     jnp.float32)
+    res = ahmc.sample_chees(
+        jax.random.PRNGKey(6), target, theta0, 1536, 1024,
+        init_t=8.0, da=DualAveragingConfig(delta=0.95),
+        t_schedule="sweep", drop_warmup=True,
+    )
+    v = np.asarray(res.thetas[..., 0]).ravel()
+    div = float(np.asarray(res.stats["numerical_error"]).mean())
+    ok = abs(v.mean()) < 0.35 and abs(v.std() - 3.0) < 0.5 and div < 0.02
+    record("funnel10_chees", ok, dict(v_mean=float(v.mean()),
+                                      v_std=float(v.std()), div=div))
+
+
 def main():
     t0 = time.time()
-    for fn in (config1, config2, config3, config4, config5):
+    for fn in (config1, config2, config3, config4, config5, config6):
         fn()
     print(json.dumps({"all_ok": all(r["ok"] for r in RESULTS.values()),
                       "wall_s": round(time.time() - t0, 1),

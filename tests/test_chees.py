@@ -198,3 +198,65 @@ def test_chees_draw_step_bitexact_vs_full_step():
               "hamiltonian_energy", "trajectory_length"):
         np.testing.assert_array_equal(np.asarray(st_full[k]),
                                       np.asarray(st_draw[k]), err_msg=k)
+
+
+def test_chees_funnel_quality_gate():
+    """ChEES on the CENTERED funnel passes the NUTS config-3 v-marginal
+    gates (VALIDATION.md row 3: v̄ < 0.35, v-std 3.0 ± 0.5) when paired with
+    the same hard-geometry settings NUTS uses there (δ=0.95, long init_t) —
+    closing VERDICT r3 'next' #2. A regression toward the δ=0.651
+    under-explored neck (v̄ ≈ 0.55, v-std ≈ 2.56 measured) now fails loudly.
+    """
+    from advancedhmc_tpu.adaptation import DualAveragingConfig
+    from advancedhmc_tpu.models import neal_funnel
+
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (512, 10),
+                                     jnp.float64)
+    res = sample_chees(
+        jax.random.PRNGKey(0), neal_funnel(10), theta0, 768, 512,
+        init_t=8.0, da=DualAveragingConfig(delta=0.95), drop_warmup=True,
+    )
+    v = np.asarray(res.thetas[:, :, 0]).ravel()
+    assert abs(v.mean()) < 0.35, v.mean()
+    assert abs(v.std() - 3.0) < 0.5, v.std()
+    div = float(np.asarray(res.stats["numerical_error"]).mean())
+    assert div < 0.02, div
+
+
+def test_chees_tau_sweep_rescues_bad_init_t():
+    """The long→converged warmup τ-schedule (chees_tau_sweep) makes the
+    funnel gate robust to a bad init_t: T0=1 fails the neck without it at
+    short warmup budgets, passes with it."""
+    from advancedhmc_tpu.adaptation import DualAveragingConfig
+    from advancedhmc_tpu.models import neal_funnel
+
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (512, 10),
+                                     jnp.float64)
+    res = sample_chees(
+        jax.random.PRNGKey(0), neal_funnel(10), theta0, 768, 512,
+        init_t=1.0, da=DualAveragingConfig(delta=0.95), drop_warmup=True,
+        t_schedule="sweep",
+    )
+    v = np.asarray(res.thetas[:, :, 0]).ravel()
+    assert abs(v.mean()) < 0.35, v.mean()
+    assert abs(v.std() - 3.0) < 0.5, v.std()
+
+
+def test_chees_noncentered_funnel_exact():
+    """The non-centered reparameterisation (models.neal_funnel_nc) turns the
+    funnel into a standard normal — ChEES at DEFAULT settings nails the
+    back-transformed v marginal. The recommended fix for funnel geometry
+    under any fixed-step sampler (see sample_chees docstring)."""
+    from advancedhmc_tpu.models import funnel_nc_to_centered, neal_funnel_nc
+
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (512, 10),
+                                     jnp.float64)
+    res = sample_chees(
+        jax.random.PRNGKey(0), neal_funnel_nc(10), theta0, 768, 512,
+        init_t=4.0, drop_warmup=True,
+    )
+    cen = np.asarray(funnel_nc_to_centered(res.thetas))
+    v = cen[:, :, 0].ravel()
+    assert abs(v.mean()) < 0.2, v.mean()
+    assert abs(v.std() - 3.0) < 0.3, v.std()
+    assert np.abs(cen[:, :, 1:].mean((0, 1))).max() < 0.3
