@@ -79,7 +79,7 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
                     force_directions=None, return_debug=False,
                     coupled_key=None, _return_machinery=False,
                     _adaptive_metric=False, _slim_candidates=False,
-                    _traced_cap=False):
+                    _traced_cap=False, _pair=False):
     """One NUTS transition; returns (z_next, stats dict).
 
     `traj` is a Trajectory whose criterion is a DynamicTerminationCriterion and
@@ -620,8 +620,385 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         )
         return out
 
+    # ----------------------------------------------------------------------
+    # Leaf-PAIR body (the round-4 structural lever, PERF.md "Leaf-pair"):
+    # one while-loop iteration advances a chain by TWO leaves — the (even,
+    # odd) aligned pair of the current doubling — or by the single lone leaf
+    # of a depth-0 doubling. The per-leaf bookkeeping that the single-leaf
+    # loop computes-and-masks EVERY iteration (span-check einsum: active
+    # only at odd leaves; even checkpoint write: even leaves; top-level
+    # merge + out-buffer write in the fused wrapper: completion leaves) runs
+    # ONCE per iteration here, because within a pair exactly one leaf is
+    # odd, exactly one is even, and at most one completion can occur.
+    #
+    # Invariant (induction): at iteration entry `leaf` is 0 (doubling
+    # start — possibly the lone depth-0 doubling) or even mid-doubling, so
+    # leaves (leaf, leaf+1) never straddle a doubling. Doublings of size
+    # ≥ 2 consist of whole pairs; a divergence at the even leaf aborts the
+    # pair (the odd leaf's work is computed but fully masked, matching the
+    # single-leaf path which never runs it).
+    #
+    # Bit-exactness contract: consumes randomness exactly like TWO
+    # single-leaf iterations (key → split(4) for the even leaf, then
+    # split(4) of its carry key for the odd leaf; a lone/aborted pair
+    # carries the first split's key forward), so fused transitions with
+    # pair=True reproduce pair=False BITWISE (pinned by
+    # tests/test_pair_loop.py). Cost: one wasted leapfrog per depth-0
+    # doubling (~1 per transition; the odd-leaf slot of a lone unit).
+    # ----------------------------------------------------------------------
+    def body_pair(st):
+        assert force_directions is None and coupled_key is None
+        key1, k_dir1, k_res1, k_mh1 = jax.random.split(st["key"], 4)
+        key2, k_dir2, k_res2, k_mh2 = jax.random.split(key1, 4)
+        eps = st["eps"]
+        h0 = st["h0"]
+        lu = st["lu"]
+        if dense_in_state:
+            from .metrics import DenseEuclideanMetric as _DnEM
+
+            h_loc = h.replace(metric=_DnEM(m_inv=st["m_inv"],
+                                           chol_u=st["chol_u"]))
+        elif _adaptive_metric:
+            from .metrics import DiagEuclideanMetric as _DEM
+
+            h_loc = h.replace(metric=_DEM(m_inv=st["m_inv"],
+                                          sqrt_m_inv=jnp.sqrt(st["m_inv"])))
+        else:
+            h_loc = h
+
+        i_a = st["leaf"]                       # even by the pair invariant
+        n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), st["depth"])
+        start = i_a == 0
+        # --- doubling start: direction, edge pick, subtree reset (A only) ---
+        v = jnp.where(start, rand_sign(k_dir1), st["v"])
+        fwd = v > 0
+        z_start_edge = _where_z(fwd, st["t_zright"], st["t_zleft"])
+        z_edge = _where_z(start, z_start_edge, st["z_edge"])
+        s_rho = jnp.where(start, zeros_d, st["s_rho"])
+        s_w = jnp.where(start, sub_w0, st["s_w"])
+        s_sum_alpha = jnp.where(start, 0.0, st["s_sum_alpha"])
+        s_n_alpha = jnp.where(start, 0, st["s_n_alpha"])
+        s_dh_max = jnp.where(start, 0.0, st["s_dh_max"])
+        s_diverged = jnp.where(start, False, st["s_diverged"])
+        # s_turning needs no carry here: a doubling whose odd leaf turned
+        # completed in THAT iteration, so mid-doubling entry always has
+        # s_turning False (the single-leaf loop resets it at completion).
+
+        eps_signed = eps * v.astype(dtype)
+
+        def leaf_stats(k_res, h_new, s_w_in):
+            """Reservoir/divergence update for one leaf (≡ the single-leaf
+            block at the same position in `body`)."""
+            if ts == SLICE:
+                leaf_n = (lu <= -h_new).astype(dtype)
+                new_sw = s_w_in + leaf_n
+                u = jax.random.uniform(k_res, dtype=dtype)
+                take = (new_sw * u >= s_w_in) & (leaf_n > 0)
+                diverging = jnp.logical_not(lu < delta_max - h_new)
+            else:
+                lw_leaf = h0 - h_new
+                new_sw = jnp.logaddexp(s_w_in, lw_leaf)
+                u = jax.random.uniform(k_res, dtype=dtype)
+                take = jnp.log(u) < lw_leaf - new_sw
+                diverging = jnp.logical_not(-h0 < delta_max - h_new)
+            return new_sw, take, diverging
+
+        # ===== leaf A (even) =====
+        z_a = integ.step(h_loc, z_edge, eps_signed)
+        vel_a = h_loc.velocity_z(z_a)
+        h_a = z_a.energy()
+        dh_a = h_a - h0
+        alpha_a = jnp.exp(jnp.minimum(jnp.zeros_like(dh_a), -dh_a))
+        alpha_a = jnp.where(jnp.isnan(alpha_a), 0.0, alpha_a)
+        s_w1, take_a, div_a = leaf_stats(k_res1, h_a, s_w)
+        s_zcand = _where_z(take_a, _cand(z_a, h_a), st["s_zcand"])
+        s_rho1 = s_rho + z_a.r
+        s_zfirst = _where_z(start, z_a, st["s_zfirst"])
+        if cheap_vel:
+            s_vfirst = jnp.where(start, vel_a,
+                                 h_loc.velocity(st["s_zfirst"].r))
+            t_vleft_c = h_loc.velocity(st["t_zleft"].r)
+            t_vright_c = h_loc.velocity(st["t_zright"].r)
+        else:
+            s_vfirst = jnp.where(start, vel_a, st["s_vfirst"])
+            t_vleft_c = st["t_vleft"]
+            t_vright_c = st["t_vright"]
+
+        s_diverged1 = s_diverged | div_a
+        # even leaf can complete only a lone (depth-0) doubling or by
+        # divergence (the pair invariant: i_a even, n_leaves−1 odd unless 1)
+        complete_a = s_diverged1 | (i_a >= n_leaves - 1)
+        pair_go = jnp.logical_not(complete_a)
+
+        # --- even checkpoint write (source = leaf A, always even) ---
+        tz_a = trailing_zeros(jnp.maximum(i_a, 1))
+        slot_even = jnp.where(i_a == 0, n_slots - 1,
+                              jnp.minimum(tz_a - 1, n_slots - 1))
+        slots = jnp.arange(n_slots)
+        mask_even = (slots == slot_even)[:, None]
+        ck_theta, ck_r, ck_vel, ck_cum = (
+            st["ck_theta"], st["ck_r"], st["ck_vel"], st["ck_cum"],
+        )
+        ck_odd_r, ck_odd_vel = st["ck_odd_r"], st["ck_odd_vel"]
+        sck_ad, sck_tv = st["sck_ad"], st["sck_tv"]
+        if is_classic:
+            ck_theta = jnp.where(
+                mask_even, z_a.theta.astype(sdtype)[None, :], ck_theta
+            )
+        ck_r = jnp.where(mask_even, z_a.r.astype(sdtype)[None, :], ck_r)
+        if not cheap_vel:
+            ck_vel = jnp.where(
+                mask_even, vel_a.astype(sdtype)[None, :], ck_vel
+            )
+        mask_even_s = mask_even[:, 0]
+        if is_strict:
+            ck_cum = jnp.where(mask_even, s_rho1.astype(sdtype)[None, :],
+                               ck_cum)
+        elif is_classic:
+            sck_tv = jnp.where(mask_even_s,
+                               jnp.dot(z_a.theta, vel_a), sck_tv)
+        else:
+            d_row = z_a.r - s_rho1
+            ck_cum = jnp.where(mask_even, d_row.astype(sdtype)[None, :],
+                               ck_cum)
+            sck_ad = jnp.where(mask_even_s, jnp.dot(d_row, vel_a), sck_ad)
+
+        # ===== leaf B (odd; fully masked when the pair aborts at A) =====
+        i_b = i_a + 1
+        z_b = integ.step(h_loc, z_a, eps_signed)
+        vel_b = h_loc.velocity_z(z_b)
+        h_b = z_b.energy()
+        dh_b = h_b - h0
+        alpha_b = jnp.exp(jnp.minimum(jnp.zeros_like(dh_b), -dh_b))
+        alpha_b = jnp.where(jnp.isnan(alpha_b), 0.0, alpha_b)
+        s_w2, take_b, div_b = leaf_stats(k_res2, h_b, s_w1)
+        s_w_f = jnp.where(pair_go, s_w2, s_w1)
+        s_zcand = _where_z(pair_go & take_b, _cand(z_b, h_b), s_zcand)
+        s_rho2 = s_rho1 + z_b.r
+        s_rho_f = jnp.where(pair_go, s_rho2, s_rho1)
+        s_sum_alpha_f = s_sum_alpha + alpha_a + jnp.where(pair_go, alpha_b,
+                                                          0.0)
+        s_n_alpha_f = s_n_alpha + 1 + pair_go.astype(jnp.int32)
+        s_dh_max_f = maxabs(s_dh_max, dh_a)
+        s_dh_max_f = jnp.where(pair_go, maxabs(s_dh_max_f, dh_b), s_dh_max_f)
+        s_diverged_f = s_diverged1 | (pair_go & div_b)
+
+        # --- U-turn span checks ONCE, at the odd leaf B (post-A write) ---
+        vsign = v.astype(dtype)
+        t_ones_b = trailing_ones(i_b)
+        ks = jnp.arange(1, max_depth, dtype=jnp.int32)
+        spans = jnp.left_shift(jnp.int32(1), ks)
+        a_s = i_b - spans + 1
+        active_s = (ks <= t_ones_b) & (a_s >= 0)
+        a_safe = jnp.maximum(a_s, 0)
+        tz_as = trailing_zeros(jnp.maximum(a_safe, 1))
+        slot_a = jnp.where(a_safe == 0, n_slots - 1,
+                           jnp.minimum(tz_as - 1, n_slots - 1))
+        sel_b = slot_a[:, None] == jnp.arange(n_slots)[None, :]
+        sel_a = sel_b.astype(dtype)
+        if not is_strict:
+            sd = ck_r.dtype
+            if is_classic:
+                colA = (h_loc.velocity(z_b.theta) if cheap_vel
+                        else z_b.theta)
+                lhsA = ck_r if cheap_vel else ck_vel
+                lhs = jnp.concatenate([lhsA, ck_theta], 0)
+                rhs = jnp.stack([colA, vel_b], 0).astype(sd)
+                prod = jnp.einsum(
+                    "kd,sd->ks", rhs, lhs,
+                    precision=getattr(traj, 'uturn_precision', None),
+                ).astype(dtype)
+                th_dot_va = prod[0, :n_slots]
+                thck_dot_vnew = prod[1, n_slots:]
+                dA_slots = vsign * (th_dot_va - sck_tv)
+                dB_slots = vsign * (
+                    jnp.dot(z_b.theta, vel_b) - thck_dot_vnew
+                )
+                dA_k = sel_a @ dA_slots
+                dB_k = sel_a @ dB_slots
+                turn_k = (dA_k <= 0) | (dB_k <= 0)
+            else:
+                colA = h_loc.velocity(s_rho2) if cheap_vel else s_rho2
+                lhsA = ck_r if cheap_vel else ck_vel
+                lhs = jnp.concatenate([lhsA, ck_cum], 0)
+                rhs = jnp.stack([colA, vel_b], 0).astype(sd)
+                prod = jnp.einsum(
+                    "kd,sd->ks", rhs, lhs,
+                    precision=getattr(traj, 'uturn_precision', None),
+                ).astype(dtype)
+                uA = prod[0, :n_slots] + sck_ad
+                uB = prod[1, n_slots:]
+                srv = jnp.dot(s_rho2, vel_b)
+                turn_slot = (uA <= 0) | (uB <= -srv)
+                turn_k = jnp.any(sel_b & turn_slot[None, :], axis=-1)
+        else:
+            r_a_ck = sel_a @ ck_r
+            vel_a_ck = (jax.vmap(h_loc.velocity)(r_a_ck) if cheap_vel
+                        else sel_a @ ck_vel)
+            cum_a = sel_a @ ck_cum
+            rho_span = s_rho2[None, :] - cum_a + r_a_ck
+            turn_k = (jnp.einsum("kd,kd->k", rho_span, vel_a_ck) <= 0) | (
+                rho_span @ vel_b <= 0
+            )
+        if is_strict:
+            import numpy as _np
+
+            _mid_rows = _np.maximum(_np.arange(max_depth - 1) - 1, 0)
+            r_m1 = ck_r[_mid_rows]
+            cum_m1 = ck_cum[_mid_rows]
+            r_m = ck_odd_r[_mid_rows]
+            if cheap_vel:
+                vel_m1 = jax.vmap(h_loc.velocity)(r_m1)
+                vel_m = jax.vmap(h_loc.velocity)(r_m)
+            else:
+                vel_m1 = ck_vel[_mid_rows]
+                vel_m = ck_odd_vel[_mid_rows]
+            rho_h1 = (cum_m1 - r_m1) - cum_a + r_a_ck
+            rho_h2 = s_rho2[None, :] - cum_m1 + r_m1
+            dot = lambda x, y: jnp.einsum("kd,kd->k", x, y)
+            x1 = rho_h1 + r_m1
+            fl = (dot(x1, vel_a_ck) <= 0) | (dot(x1, vel_m1) <= 0)
+            x2 = r_m + rho_h2
+            fr = (dot(x2, vel_m) <= 0) | (x2 @ vel_b <= 0)
+            x3 = rho_h2 + r_m
+            bl = (x3 @ vel_b <= 0) | (dot(x3, vel_m) <= 0)
+            x4 = r_m1 + rho_h1
+            br = (dot(x4, vel_m1) <= 0) | (dot(x4, vel_a_ck) <= 0)
+            sub_turn = jnp.where(fwd, fl | fr, bl | br)
+            sub_turn = sub_turn & (ks >= 2)
+            turn_k = turn_k | sub_turn
+        s_turning_f = pair_go & jnp.any(active_s & turn_k)
+
+        # --- strict odd-checkpoint write (source = leaf B) ---
+        if is_strict:
+            slot_odd = jnp.minimum(trailing_zeros(i_b + 1) - 1, n_slots - 1)
+            mask_odd = ((slots == slot_odd) & pair_go)[:, None]
+            ck_odd_r = jnp.where(
+                mask_odd, z_b.r.astype(sdtype)[None, :], ck_odd_r
+            )
+            if not cheap_vel:
+                ck_odd_vel = jnp.where(
+                    mask_odd, vel_b.astype(sdtype)[None, :], ck_odd_vel
+                )
+
+        # ===== completion + merge (at most one per iteration) =====
+        sub_done = s_turning_f | s_diverged_f
+        complete = complete_a | (pair_go & (sub_done | (i_b >= n_leaves - 1)))
+        not_term = jnp.logical_not(sub_done)
+
+        # last processed leaf (merge inputs)
+        z_last = _where_z(pair_go, z_b, z_a)
+        vel_last = jnp.where(pair_go, vel_b, vel_a)
+
+        s_zleft = _where_z(fwd, s_zfirst, z_last)
+        s_zright = _where_z(fwd, z_last, s_zfirst)
+        s_vleft = jnp.where(fwd, s_vfirst, vel_last)
+        s_vright = jnp.where(fwd, vel_last, s_vfirst)
+
+        if ts == SLICE:
+            u_mh = jnp.where(pair_go,
+                             jax.random.uniform(k_mh2, dtype=dtype),
+                             jax.random.uniform(k_mh1, dtype=dtype))
+            mh_take = st["t_w"] * u_mh < s_w_f
+        else:
+            e_mh = jnp.where(pair_go,
+                             rand_exponential(k_mh2, dtype=dtype),
+                             rand_exponential(k_mh1, dtype=dtype))
+            mh_take = st["t_w"] < s_w_f + e_mh
+        take_pred = complete & not_term & mh_take
+        act = st.get("act")
+        if act is not None:
+            take_pred = take_pred & act
+        zcand = _where_z(take_pred, s_zcand, st["zcand"])
+
+        c_zleft = _where_z(fwd, st["t_zleft"], s_zleft)
+        c_zright = _where_z(fwd, s_zright, st["t_zright"])
+        c_vleft = jnp.where(fwd, t_vleft_c, s_vleft)
+        c_vright = jnp.where(fwd, s_vright, t_vright_c)
+        c_rho = st["t_rho"] + s_rho_f
+
+        if is_classic:
+            dtheta_c = c_zright.theta - c_zleft.theta
+            full_turn = _uturn_classic(dtheta_c, c_vleft, c_vright)
+        else:
+            full_turn = _uturn_generalised(c_rho, c_vleft, c_vright)
+        if is_strict:
+            tl_rho = jnp.where(fwd, st["t_rho"], s_rho_f)
+            tr_rho = jnp.where(fwd, s_rho_f, st["t_rho"])
+            tr_zleft_r = jnp.where(fwd, s_zleft.r, st["t_zleft"].r)
+            tr_vleft = jnp.where(fwd, s_vleft, t_vleft_c)
+            tl_zright_r = jnp.where(fwd, st["t_zright"].r, s_zright.r)
+            tl_vright = jnp.where(fwd, t_vright_c, s_vright)
+            sl = _uturn_generalised(tl_rho + tr_zleft_r, c_vleft, tr_vleft)
+            sr = _uturn_generalised(tl_zright_r + tr_rho, tl_vright, c_vright)
+            full_turn = full_turn | sl | sr
+
+        if ts == SLICE:
+            c_w = st["t_w"] + s_w_f
+        else:
+            c_w = jnp.logaddexp(st["t_w"], s_w_f)
+
+        depth_new = st["depth"] + jnp.where(complete & not_term, 1, 0)
+        turning_new = st["turning"] | (complete & (s_turning_f | full_turn))
+        diverged_new = st["diverged"] | (complete & s_diverged_f)
+        done_new = (
+            (complete & (sub_done | full_turn))
+            | (depth_new >= (st["cap"] if _traced_cap else max_depth))
+        )
+
+        sel = lambda p, a, b: jnp.where(p, a, b)
+        key_out = jnp.where(pair_go, key2, key1)
+        out = dict(
+            key=key_out,
+            eps=st["eps"],
+            **({"cap": st["cap"]} if _traced_cap else {}),
+            m_inv=st["m_inv"],
+            chol_u=st["chol_u"],
+            h0=st["h0"],
+            lu=st["lu"],
+            t_zleft=_where_z(complete, c_zleft, st["t_zleft"]),
+            t_zright=_where_z(complete, c_zright, st["t_zright"]),
+            t_vleft=(st["t_vleft"] if cheap_vel
+                     else sel(complete, c_vleft, st["t_vleft"])),
+            t_vright=(st["t_vright"] if cheap_vel
+                      else sel(complete, c_vright, st["t_vright"])),
+            t_rho=sel(complete, c_rho, st["t_rho"]),
+            zcand=zcand,
+            t_w=sel(complete, c_w, st["t_w"]),
+            sum_alpha=st["sum_alpha"] + sel(complete, s_sum_alpha_f, 0.0),
+            n_alpha=st["n_alpha"] + sel(complete, s_n_alpha_f, 0),
+            dh_max=sel(complete, maxabs(st["dh_max"], s_dh_max_f),
+                       st["dh_max"]),
+            depth=depth_new,
+            turning=turning_new,
+            diverged=diverged_new,
+            done=done_new,
+            v=v,
+            leaf=sel(complete, 0, i_b + 1),
+            z_edge=z_last,
+            s_zfirst=s_zfirst,
+            s_vfirst=(st["s_vfirst"] if cheap_vel else s_vfirst),
+            s_rho=s_rho_f,
+            s_w=sel(complete, sub_w0, s_w_f),
+            s_zcand=s_zcand,
+            s_sum_alpha=sel(complete, 0.0, s_sum_alpha_f),
+            s_n_alpha=sel(complete, 0, s_n_alpha_f),
+            s_dh_max=sel(complete, 0.0, s_dh_max_f),
+            s_turning=jnp.logical_not(complete) & s_turning_f,
+            s_diverged=sel(complete, False, s_diverged_f),
+            ck_theta=ck_theta,
+            ck_r=ck_r,
+            ck_vel=ck_vel,
+            ck_cum=ck_cum,
+            ck_odd_r=ck_odd_r,
+            ck_odd_vel=ck_odd_vel,
+            sck_ad=sck_ad,
+            sck_tv=sck_tv,
+        )
+        return out
+
     if _return_machinery:
-        return state, cond, body, fresh_fields
+        return state, cond, (body_pair if _pair else body), fresh_fields
 
     assert not slim, "_slim_candidates requires _return_machinery"
     final = jax.lax.while_loop(cond, body, state)
@@ -721,7 +1098,8 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
                            out_dtype=None, batched: bool = False,
                            metric_batch=None, eps_batch=None,
                            stage_slots: int = 0, t_min=None,
-                           pack_carry: str = "", depth_caps=None):
+                           pack_carry: str = "", depth_caps=None,
+                           pair: bool = False):
     """Run `n_transitions` sequential NUTS transitions inside ONE while-loop.
 
     Chains advance through their own transition sequences asynchronously, so
@@ -845,7 +1223,7 @@ def nuts_transitions_fused(key, h: Hamiltonian, traj, z0: PhasePoint,
         return nuts_transition(
             k, h_c, traj, z_start, _return_machinery=True,
             _adaptive_metric=metric_in_state, _slim_candidates=slim,
-            _traced_cap=traced_cap,
+            _traced_cap=traced_cap, _pair=pair,
         )
 
     if batched:

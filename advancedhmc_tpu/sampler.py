@@ -173,7 +173,7 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
                      unroll: int = 1, progress_cb=None, experimental=None,
-                     chain_chunks: int = 1):
+                     chain_chunks: int = 1, pair: bool = False):
     """Post-warmup draws with `fuse` transitions per while-loop invocation.
 
     Chains run their own transition sequences asynchronously inside each
@@ -225,7 +225,7 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
             key, h, traj, z, fuse, spec.kernel.refreshment, unroll=unroll,
             out_dtype=out_dtype, batched=batched, metric_batch=metric_batch,
             eps_batch=eps_batch, stage_slots=stage_slots,
-            pack_carry=pack_carry,
+            pack_carry=pack_carry, pair=pair,
         )
 
     # Batch-explicit fused loop: one while_loop over the batched state

@@ -276,6 +276,9 @@ def main():
     use_ragged = ragged > 1.0
     t_max_r = int(round(chunk * ragged))
 
+    # Leaf-pair draw loop (nuts.py body_pair): two leaves per while-loop
+    # iteration, per-leaf bookkeeping halved. 1 = on (r4 default), 0 = off.
+    pair = os.environ.get("AHMC_BENCH_PAIR", "1") == "1"
     # Chain-chunked draws (VMEM-spill mitigation): S sequential sub-batches
     # of ≤4096 chains inside each dispatch; the stream is bit-identical.
     # Measured r4: 8192 chains 1.66M→3.48M ESS/s (chunks=2), 16384 chains
@@ -291,7 +294,7 @@ def main():
             spec, state, chunk, fuse, unroll=unroll,
             experimental=Experimental(out_dtype=out_dtype, stage_slots=stage,
                                       pack_carry=pack_carry),
-            chain_chunks=chain_chunks)
+            chain_chunks=chain_chunks, pair=pair)
         return new_st, (thetas, stats["n_steps"],
                         jnp.sum(stats["numerical_error"]),
                         jnp.mean(stats["acceptance_rate"]))

@@ -1,0 +1,149 @@
+"""Leaf-pair fused loop (nuts.py body_pair) equivalence.
+
+Two tiers:
+
+1. EAGER bitwise: driven op-by-op (no jit), `body_pair` reproduces the
+   single-leaf `body` EXACTLY — full final state, every field, every
+   checkpoint stack — across criteria × samplers × metric modes ×
+   divergence regimes. Eager execution removes XLA fusion/FMA
+   nondeterminism, so any discrepancy is a real specialization bug.
+
+2. Compiled statistical: under jit the two loop layouts produce different
+   HLO, and XLA's FMA contraction differs at ~1e-15/op; a reservoir
+   comparison landing within that noise can select a different (equally
+   correct) leaf. So the compiled fused paths are compared statistically:
+   posterior moments, tree-depth distribution, acceptance, divergence.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advancedhmc_tpu import (
+    ClassicNoUTurn,
+    GeneralisedNoUTurn,
+    HMCKernel,
+    Leapfrog,
+    StrictGeneralisedNoUTurn,
+    Trajectory,
+    init_state,
+    make_metric,
+)
+from advancedhmc_tpu.adaptation import AdaptorConfig
+from advancedhmc_tpu.hamiltonian import Hamiltonian
+from advancedhmc_tpu.models import neal_funnel, std_gaussian
+from advancedhmc_tpu.nuts import nuts_transition
+from advancedhmc_tpu.sampler import SampleSpec, fused_draw_phase
+
+D = 6
+
+
+def _compare_eager(crit, ts, metric_kind, eps, target, seed, slim):
+    """Drive one full transition through both bodies eagerly; the single
+    path is advanced leaf-by-leaf to the pair path's leaf total each
+    pair-iteration. Returns the list of mismatching state fields."""
+    metric = make_metric(metric_kind, D, dtype=jnp.float64)
+    h = Hamiltonian(metric=metric, target=target)
+    traj = Trajectory(Leapfrog(step_size=jnp.asarray(eps, jnp.float64)),
+                      crit, ts)
+    key = jax.random.PRNGKey(seed)
+    theta0 = 0.3 * jax.random.normal(jax.random.PRNGKey(seed + 100), (D,),
+                                     jnp.float64)
+    z0 = h.init_phasepoint(jax.random.PRNGKey(seed + 200), theta0)
+    st1, _, b1, _ = nuts_transition(key, h, traj, z0,
+                                    _return_machinery=True,
+                                    _slim_candidates=slim)
+    _, _, b2, _ = nuts_transition(key, h, traj, z0, _return_machinery=True,
+                                  _slim_candidates=slim, _pair=True)
+    s1, s2 = dict(st1), dict(st1)
+    it = 0
+    while not bool(s2["done"]) and it < 40:
+        s2 = b2(s2)
+        it += 1
+
+        def tot(s):
+            return int(s["n_alpha"]) + int(s["s_n_alpha"])
+
+        while (tot(s1) < tot(s2)
+               or (tot(s1) == tot(s2)
+                   and int(s1["leaf"]) != int(s2["leaf"]))) \
+                and not bool(s1["done"]):
+            s1 = b1(s1)
+    while not bool(s1["done"]):
+        s1 = b1(s1)
+    bad = []
+    for k in s1:
+        for x, y in zip(jax.tree_util.tree_leaves(s1[k]),
+                        jax.tree_util.tree_leaves(s2[k])):
+            if not np.array_equal(np.asarray(x), np.asarray(y),
+                                  equal_nan=True):
+                bad.append(k)
+                break
+    return bad
+
+
+_CRITS = [GeneralisedNoUTurn(max_depth=6), ClassicNoUTurn(max_depth=6),
+          StrictGeneralisedNoUTurn(max_depth=6)]
+
+
+@pytest.mark.parametrize("crit", _CRITS, ids=lambda c: type(c).__name__)
+@pytest.mark.parametrize("ts", ["multinomial", "slice"])
+def test_pair_body_bitwise_eager(crit, ts):
+    for seed, (eps, tgt), mk, slim in itertools.product(
+        range(3),
+        [(0.4, std_gaussian(D)), (1.3, neal_funnel(D))],  # incl. divergences
+        ["diagonal"], [True],
+    ):
+        bad = _compare_eager(crit, ts, mk, eps, tgt, seed, slim)
+        assert not bad, (type(crit).__name__, ts, mk, eps, seed, bad)
+
+
+def test_pair_body_bitwise_eager_variants():
+    """unit metric (cheap_vel) and non-slim candidate carry."""
+    crit = GeneralisedNoUTurn(max_depth=6)
+    for mk, slim in [("unit", True), ("diagonal", False)]:
+        bad = _compare_eager(crit, "multinomial", mk, 0.4, std_gaussian(D),
+                             1, slim)
+        assert not bad, (mk, slim, bad)
+
+
+def _fused(pair, n_draws=256, fuse=16, eps=0.45):
+    target = std_gaussian(D)
+    kernel = HMCKernel(Trajectory(
+        Leapfrog(step_size=jnp.asarray(eps, jnp.float64)),
+        GeneralisedNoUTurn(max_depth=5), "multinomial",
+    ))
+    spec = SampleSpec(target=target, kernel=kernel,
+                      adaptor=AdaptorConfig(kind="none"))
+    state = init_state(jax.random.PRNGKey(3), spec,
+                       make_metric("diagonal", D, dtype=jnp.float64),
+                       0.3 * jax.random.normal(jax.random.PRNGKey(5),
+                                               (64, D), jnp.float64),
+                       init_eps=eps)
+    return fused_draw_phase(spec, state, n_draws, fuse, pair=pair)
+
+
+def test_pair_fused_statistical_equivalence():
+    _, th1, s1 = _fused(False)
+    _, th2, s2 = _fused(True)
+    a1 = np.asarray(th1).reshape(-1, D)
+    a2 = np.asarray(th2).reshape(-1, D)
+    # std normal target: moments agree within MC error
+    np.testing.assert_allclose(a1.mean(0), a2.mean(0), atol=0.06)
+    np.testing.assert_allclose(a1.std(0), a2.std(0), atol=0.06)
+    np.testing.assert_allclose(
+        float(np.asarray(s1["acceptance_rate"]).mean()),
+        float(np.asarray(s2["acceptance_rate"]).mean()), atol=0.01,
+    )
+    # identical tree-shape distribution (depth histogram)
+    d1 = np.bincount(np.asarray(s1["tree_depth"]).ravel(), minlength=6)
+    d2 = np.bincount(np.asarray(s2["tree_depth"]).ravel(), minlength=6)
+    n = d1.sum()
+    np.testing.assert_allclose(d1 / n, d2 / n, atol=0.03)
+    # leaf accounting: n_steps counts USEFUL leaves only (the lone unit's
+    # wasted second leapfrog is never recorded)
+    assert np.asarray(s2["n_steps"]).min() >= 1
