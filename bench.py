@@ -154,14 +154,14 @@ def main():
     )
     from advancedhmc_tpu.adaptation import DualAveragingConfig
 
-    # δ=0.6 measured optimal for ESS/s on this posterior: ESS/draw stays ≈1
-    # (estimator-saturating) all the way down to δ=0.6 while trees shrink to
-    # ~7 leaves/transition, and the tighter tree-size distribution all but
-    # removes the batched loop's max-over-chains lane waste. δ≤0.55 falls
-    # off a cliff (DA equilibrium misses the target; divergences at 0.5).
-    # Posterior moments at 0.6 match δ=0.8/0.9 to 4 decimals; divergence
-    # rate 0. See PERF.md "Sampler-hyperparameter sweep".
-    delta = float(os.environ.get("AHMC_BENCH_DELTA", 0.6))
+    # δ=0.55 adopted r4 (re-swept under the leaf-pair loop, which halved
+    # per-leaf bookkeeping and moved the optimum down from r2's 0.6):
+    # 0.55→4.95M, 0.6→4.76M, 0.65→4.64M ESS/s; median pooled ESS 307k vs
+    # 303k at 0.6 (no estimator falloff), min-dim 0.85M, div 0, accept
+    # lands 0.626. The r2 "δ≤0.55 falls off a cliff" result no longer holds
+    # at the new cost structure. Posterior moments match δ=0.8/0.9 to 4
+    # decimals; see PERF.md "Leaf-pair loop".
+    delta = float(os.environ.get("AHMC_BENCH_DELTA", 0.55))
     # Stan window-schedule buffers (ref stan_adaptor.jl:105-115 defaults);
     # short-warmup runs can shrink them so the metric still gets window
     # refreshes (e.g. WARMUP=160 INIT_BUFFER=50 TERM_BUFFER=35).
