@@ -459,7 +459,7 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
 
 def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
                                   n_adapts: int, block: int, flags=None,
-                                  depth_caps=None):
+                                  depth_caps=None, pair: bool = False):
     """Cross-chain warmup with `block` transitions fused per while-loop.
 
     Transitions inside a block run with the step size / metric FROZEN at the
@@ -509,7 +509,7 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
         # (no per-carry done-guard selects; see nuts_transitions_fused)
         return nuts_transitions_fused(
             keys, h, traj, z, block, spec.kernel.refreshment, batched=True,
-            depth_caps=caps_blk,
+            depth_caps=caps_blk, pair=pair,
         )
 
     def outer(st, f_block):
@@ -924,6 +924,7 @@ def sample(
     coupled: bool = False,
     fuse_draws: int = 0,
     fuse_chain_chunks: int = 1,
+    fuse_pair: bool = False,
     fuse_warmup: bool = False,
     fuse_warmup_block: int = 8,
     thin: int = 1,
@@ -1205,11 +1206,13 @@ def sample(
         if use_fused and online:
             return fused_draw_phase(spec, state, n_draw_steps, fuse_draws,
                                     online_om=om0, progress_cb=fused_cb,
-                                    chain_chunks=fuse_chain_chunks)
+                                    chain_chunks=fuse_chain_chunks,
+                                    pair=fuse_pair)
         if use_fused:
             state, thetas, stats = fused_draw_phase(
                 spec, state, n_draw_steps, fuse_draws, thin,
                 progress_cb=fused_cb, chain_chunks=fuse_chain_chunks,
+                pair=fuse_pair,
             )
             return state, thetas, stats, None
         if online:
@@ -1276,6 +1279,7 @@ def sample(
                 state, th_s, st_s = fused_warmup_phase_crosschain(
                     _spec_capped if hi <= n_cap2 else spec, state,
                     hi - lo, fuse_warmup_block, flags=fl_seg,
+                    pair=fuse_pair,
                 )
                 th_segs.append(th_s)
                 st_segs.append(st_s)
@@ -1293,7 +1297,7 @@ def sample(
                 }
         elif use_fused_warmup_cc:
             state, warm_thetas, warm_stats = fused_warmup_phase_crosschain(
-                spec, state, n_adapts, fuse_warmup_block
+                spec, state, n_adapts, fuse_warmup_block, pair=fuse_pair
             )
         else:
             state, warm_thetas, warm_stats = fused_warmup_phase(

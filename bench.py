@@ -342,7 +342,8 @@ def main():
             caps = fl.pop("depth_caps", None)
             st, _, wstats = fused_warmup_phase_crosschain(
                 spec_early if early else spec, state,
-                fl["is_adapt"].shape[0], block, flags=fl, depth_caps=caps
+                fl["is_adapt"].shape[0], block, flags=fl, depth_caps=caps,
+                pair=pair,
             )
             return st, jnp.sum(wstats["n_steps"])
 

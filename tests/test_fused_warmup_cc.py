@@ -310,3 +310,21 @@ def test_warmup_depth_cap_unsupported_falls_back():
         cross_chain=False, init_eps=0.3, warmup_depth_cap=2, verbose=False,
     )
     assert out.thetas.shape[0] == 96
+
+
+def test_fused_cc_pair_matches_scan_adaptation():
+    """Leaf-pair warmup (fuse_pair=True) lands the adaptor where the scan
+    lands — same gates as the single-leaf fused warmup."""
+    scan = _run(False)
+    fused = _run(True, fuse_warmup_block=8, fuse_pair=True, fuse_draws=8)
+    eps_s = float(np.asarray(scan.stats["step_size"])[-1, 0])
+    eps_f = float(np.asarray(fused.stats["step_size"])[-1, 0])
+    assert abs(np.log(eps_f / eps_s)) < 0.35, (eps_s, eps_f)
+    mi_s = np.asarray(scan.final_state.metric.m_inv)
+    mi_f = np.asarray(fused.final_state.metric.m_inv)
+    np.testing.assert_allclose(mi_f, mi_s, rtol=0.25)
+    acc = float(np.mean(np.asarray(fused.stats["acceptance_rate"][192:])))
+    assert 0.65 < acc <= 1.0, acc
+    draws = np.asarray(fused.thetas[192:]).reshape(-1, DIM)
+    assert np.abs(draws.mean(0)).max() < 0.25
+    assert np.abs(draws.std(0) - 1.0).max() < 0.25
