@@ -404,12 +404,16 @@ def test_samplespec_structural_hash_no_recompile():
     st = init_state(jax.random.PRNGKey(0), s1,
                     make_metric("diagonal", D, dtype=jnp.float64), theta0)
     flags = jax.tree_util.tree_map(lambda a: a[0], adapt_flags(s1.adaptor, 0, 1))
+    # NOTE: jax.jit memoizes the wrapper per (fun, jit-params), so this
+    # PjitFunction (and its cache counter) may be SHARED with other tests
+    # jitting sample_step in the same process — assert increments, not
+    # absolute sizes.
     step(s1, st, flags)
-    assert step._cache_size() == 1
+    base = step._cache_size()
     step(s2, st, flags)
-    assert step._cache_size() == 1, "equal spec must not recompile"
+    assert step._cache_size() == base, "equal spec must not recompile"
     step(s3, st, flags)
-    assert step._cache_size() == 2, "different config must recompile"
+    assert step._cache_size() == base + 1, "different config must recompile"
 
 
 def test_per_chain_init_stepsize_search():
