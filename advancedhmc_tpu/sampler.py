@@ -386,7 +386,8 @@ def _thin_block(ths, stats, thin: int):
     return ths, out
 
 
-def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
+def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int,
+                       pair: bool = False):
     """Warmup with per-chain adaptation INSIDE the fused while-loop.
 
     Reference-exact per-chain semantics (each chain adapts on its own window
@@ -413,6 +414,7 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int):
             key, h, traj, z, n_adapts, spec.kernel.refreshment,
             adapt_cfg=cfg, adapt_state=ad, adapt_flags=flag_arrays,
             batched=batched, metric_batch=metric_batch, eps_batch=eps_batch,
+            pair=pair,
         )
 
     key, k_step = jax.random.split(state.key)
@@ -1301,7 +1303,7 @@ def sample(
             )
         else:
             state, warm_thetas, warm_stats = fused_warmup_phase(
-                spec, state, n_adapts
+                spec, state, n_adapts, pair=fuse_pair
             )
         if drop_warmup:
             warmup_stats = warm_stats if collect_warmup_stats else None

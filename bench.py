@@ -612,11 +612,20 @@ def main():
                 np.asarray(ess_fn(jnp.asarray(thetas_np[:, :, j:j + 10])))
                 for j in range(0, dim, 10)
             ])
+            ratio = float(np.median(ess_all)) / max(ess_total, 1e-9)
             extras_all = {
                 "median_pooled_ess_allchains": round(float(np.median(ess_all)), 1),
-                "extrapolation_ratio": round(
-                    float(np.median(ess_all)) / max(ess_total, 1e-9), 4),
+                "extrapolation_ratio": round(ratio, 4),
             }
+            # honesty gate (VERDICT r3 weak #5): the headline is computed
+            # from a 512-chain subsample × (C/512); if the all-chains
+            # estimate disagrees by >15% the extrapolation (and hence the
+            # headline) is not trustworthy — fail loudly rather than
+            # publish it. Measured ratio at bench shape: 0.98-1.00.
+            assert 0.85 < ratio < 1.15, (
+                f"ESS subsample extrapolation off by {ratio:.3f}x — "
+                "headline ESS/s is unreliable at this configuration"
+            )
         else:
             extras_all = {}
         # per-chain-sum estimator on the same draws: the apples-to-apples

@@ -147,3 +147,41 @@ def test_pair_fused_statistical_equivalence():
     # leaf accounting: n_steps counts USEFUL leaves only (the lone unit's
     # wasted second leapfrog is never recorded)
     assert np.asarray(s2["n_steps"]).min() >= 1
+
+
+def test_pair_per_chain_fused_warmup():
+    """Per-chain in-loop adaptation (fused_warmup_phase) composes with the
+    pair body: boundary adaptation fires once per completed transition
+    regardless of leaves-per-iteration. Gate: adapted eps/metric land where
+    the single-leaf fused warmup lands, and sampling stays calibrated."""
+    from advancedhmc_tpu import sample
+    from advancedhmc_tpu.adaptation import AdaptorConfig
+
+    target = std_gaussian(D)
+    kernel = HMCKernel(Trajectory(
+        Leapfrog(step_size=jnp.asarray(0.3, jnp.float64)),
+        GeneralisedNoUTurn(max_depth=5), "multinomial",
+    ))
+    theta0 = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (32, D),
+                                     jnp.float64)
+
+    def run(fuse_pair):
+        return sample(
+            jax.random.PRNGKey(0), target, kernel,
+            make_metric("diagonal", D, dtype=jnp.float64), theta0,
+            n_samples=320, n_adapts=192,
+            adaptor=AdaptorConfig(kind="stan"), init_eps=0.3,
+            fuse_warmup=True, fuse_pair=fuse_pair,
+        )
+
+    single, paired = run(False), run(True)
+    eps_s = np.asarray(single.final_state.adapt.da.eps)
+    eps_p = np.asarray(paired.final_state.adapt.da.eps)
+    assert abs(np.log(eps_p.mean() / eps_s.mean())) < 0.35
+    np.testing.assert_allclose(
+        np.asarray(paired.final_state.metric.m_inv).mean(0),
+        np.asarray(single.final_state.metric.m_inv).mean(0), rtol=0.3,
+    )
+    draws = np.asarray(paired.thetas[192:]).reshape(-1, D)
+    assert np.abs(draws.mean(0)).max() < 0.3
+    assert np.abs(draws.std(0) - 1.0).max() < 0.3
