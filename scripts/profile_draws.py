@@ -67,9 +67,12 @@ def main():
                                                  flags=fl)
         return st
 
+    pair = os.environ.get("AHMC_BENCH_PAIR", "1") == "1"
+
     @jax.jit
     def draws(state):
-        st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse)
+        st, thetas, stats = fused_draw_phase(spec, state, chunk, fuse,
+                                             pair=pair)
         return st, thetas, stats["n_steps"]
 
     t0 = time.time()
