@@ -461,7 +461,8 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int,
 
 def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
                                   n_adapts: int, block: int, flags=None,
-                                  depth_caps=None, pair: bool = False):
+                                  depth_caps=None, pair: bool = False,
+                                  progress_cb=None):
     """Cross-chain warmup with `block` transitions fused per while-loop.
 
     Transitions inside a block run with the step size / metric FROZEN at the
@@ -564,6 +565,18 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
             z=z_last, metric=metric, adapt=adapt_new, key=key,
         )
         stats["is_adapt"] = jnp.ones_like(stats["numerical_error"], dtype=bool)
+        if progress_cb is not None:
+            # live warmup display, once per fused block (the fused-warmup
+            # analogue of the reference's per-iteration ProgressMeter,
+            # /root/reference/src/sampler.jl:95-103)
+            from jax.experimental import io_callback as _io_callback
+
+            _io_callback(
+                progress_cb, None, new_st.iteration,
+                {k: stats[k][-1] for k in
+                 ("acceptance_rate", "step_size", "numerical_error")},
+                ordered=True,
+            )
         return new_st, (ths, stats)
 
     state, (thetas, stats) = jax.lax.scan(outer, state, block_flags)
@@ -1282,6 +1295,7 @@ def sample(
                     _spec_capped if hi <= n_cap2 else spec, state,
                     hi - lo, fuse_warmup_block, flags=fl_seg,
                     pair=fuse_pair,
+                    progress_cb=_progress_cb if progress else None,
                 )
                 th_segs.append(th_s)
                 st_segs.append(st_s)
@@ -1299,7 +1313,8 @@ def sample(
                 }
         elif use_fused_warmup_cc:
             state, warm_thetas, warm_stats = fused_warmup_phase_crosschain(
-                spec, state, n_adapts, fuse_warmup_block, pair=fuse_pair
+                spec, state, n_adapts, fuse_warmup_block, pair=fuse_pair,
+                progress_cb=_progress_cb if progress else None,
             )
         else:
             state, warm_thetas, warm_stats = fused_warmup_phase(

@@ -199,3 +199,20 @@ def test_chain_chunked_cross_chain_and_online():
         np.asarray(stored.thetas).mean(0),
         rtol=1e-10,
     )
+
+
+def test_chain_chunks_compose_with_pair():
+    """chain_chunks and the leaf-pair loop together (the 8192-chain bench
+    layout): chunked+paired equals unchunked+paired exactly (chunking is
+    pure residency; pair determinism is per-chain)."""
+    full = _run(n_samples=32, n_adapts=0, fuse_draws=8, fuse_pair=True)
+    chunked = _run(n_samples=32, n_adapts=0, fuse_draws=8, fuse_pair=True,
+                   fuse_chain_chunks=4)
+    np.testing.assert_array_equal(
+        np.asarray(chunked.thetas), np.asarray(full.thetas)
+    )
+    for k in full.stats:
+        np.testing.assert_array_equal(
+            np.asarray(chunked.stats[k]), np.asarray(full.stats[k]),
+            err_msg=k,
+        )
