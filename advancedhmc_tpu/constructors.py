@@ -84,8 +84,11 @@ _MM_FOR_METRIC = {
     "diag": MM_WELFORD_VAR,
     "diagonal": MM_WELFORD_VAR,
     "dense": MM_WELFORD_COV,
-    "rank_update": MM_WELFORD_VAR,
-    "rankupdate": MM_WELFORD_VAR,
+    # the RankUpdate metric exists to CARRY a low-rank factorisation — pair
+    # it with the rank-preserving estimator (r4); init_state auto-sizes the
+    # metric's rank slots to the adaptor's mm_rank
+    "rank_update": "lowrank",
+    "rankupdate": "lowrank",
     "nutpie": MM_NUTPIE,
 }
 
