@@ -148,11 +148,13 @@ state_f = state_f.replace(
     iteration=globalize(state_f.iteration),
 )
 
+# pair=True: the production leaf-pair loop (r4 default) is the layout that
+# must hold across the process boundary
 warm = jax.jit(lambda st: fused_warmup_phase_crosschain(
-    spec, st, FUSED_ADAPTS, FUSED_BLOCK))
+    spec, st, FUSED_ADAPTS, FUSED_BLOCK, pair=True))
 state_f, _, warm_stats = warm(state_f)
 draw = jax.jit(lambda st: fused_draw_phase(
-    spec, st, FUSED_DRAWS, FUSED_FUSE))
+    spec, st, FUSED_DRAWS, FUSED_FUSE, pair=True))
 state_f, fused_thetas, draw_stats = draw(state_f)
 
 rep_id = jax.jit(lambda x: x, out_shardings=rep)
