@@ -462,7 +462,7 @@ def fused_warmup_phase(spec: SampleSpec, state: HMCState, n_adapts: int,
 def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
                                   n_adapts: int, block: int, flags=None,
                                   depth_caps=None, pair: bool = False,
-                                  progress_cb=None):
+                                  progress_cb=None, chain_chunks: int = 1):
     """Cross-chain warmup with `block` transitions fused per while-loop.
 
     Transitions inside a block run with the step size / metric FROZEN at the
@@ -504,12 +504,49 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
         block_flags = dict(block_flags,
                            depth_caps=depth_caps.reshape(n_blocks, block))
 
+    if chain_chunks > 1:
+        assert n_chains % chain_chunks == 0, (
+            "chain_chunks must divide the chain count"
+        )
+
     def one_chain(keys, metric, eps, z, caps_blk=None):
         h = Hamiltonian(metric=metric, target=spec.target, kinetic=spec.kinetic)
         integ = spec.kernel.trajectory.integrator.with_nom_step_size(eps)
         traj = spec.kernel.trajectory.replace(integrator=integ)
         # metric/eps are shared within a block → batch-explicit fused loop
         # (no per-carry done-guard selects; see nuts_transitions_fused)
+        if chain_chunks > 1:
+            # VMEM-spill mitigation at ≥8192 chains (same mechanism as the
+            # draw phase's chain_chunks): transitions within a block are
+            # independent given the frozen eps/metric, so sub-batches run
+            # sequentially inside the dispatch; the block replay below
+            # still sees the FULL (block, C, D) theta record, so the
+            # cross-chain adaptation is unchanged.
+            s = chain_chunks
+
+            def _split(t):
+                return jax.tree_util.tree_map(
+                    lambda x: x.reshape((s, x.shape[0] // s) + x.shape[1:]),
+                    t,
+                )
+
+            def _join(t):
+                return jax.tree_util.tree_map(
+                    lambda x: x.reshape(
+                        (x.shape[0] * x.shape[1],) + x.shape[2:]), t,
+                )
+
+            def chunk_body(_, xs):
+                k_c, z_c = xs
+                return None, nuts_transitions_fused(
+                    k_c, h, traj, z_c, block, spec.kernel.refreshment,
+                    batched=True, depth_caps=caps_blk, pair=pair,
+                )
+
+            _, (zl, ths, stats) = jax.lax.scan(
+                chunk_body, None, (_split(keys), _split(z))
+            )
+            return _join(zl), _join(ths), _join(stats)
         return nuts_transitions_fused(
             keys, h, traj, z, block, spec.kernel.refreshment, batched=True,
             depth_caps=caps_blk, pair=pair,
@@ -1294,7 +1331,7 @@ def sample(
                 state, th_s, st_s = fused_warmup_phase_crosschain(
                     _spec_capped if hi <= n_cap2 else spec, state,
                     hi - lo, fuse_warmup_block, flags=fl_seg,
-                    pair=fuse_pair,
+                    pair=fuse_pair, chain_chunks=fuse_chain_chunks,
                     progress_cb=_progress_cb if progress else None,
                 )
                 th_segs.append(th_s)
@@ -1314,6 +1351,7 @@ def sample(
         elif use_fused_warmup_cc:
             state, warm_thetas, warm_stats = fused_warmup_phase_crosschain(
                 spec, state, n_adapts, fuse_warmup_block, pair=fuse_pair,
+                chain_chunks=fuse_chain_chunks,
                 progress_cb=_progress_cb if progress else None,
             )
         else:

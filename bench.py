@@ -58,7 +58,12 @@ def main():
     from advancedhmc_tpu.sampler import SampleSpec
     from advancedhmc_tpu.models import hierarchical_logistic
 
-    n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 4096))
+    # 16384 adopted r4: with chain-chunked draws AND warmup (auto, 4096-chain
+    # sub-batches) throughput is flat in chain count while the ESS pool
+    # quadruples — 5.02M ESS/s draws / 30.05M leapfrog/s / 2.36M end-to-end
+    # incl. warmup, vs 4.97M / 29.8M / 1.79M at 4096 (PERF.md). ChEES
+    # extras scale even better (5.2M ESS/s, min-dim 3.6M at 16k chains).
+    n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 16384))
     n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 512))  # 4 chunks: timing noise ~halves vs 256
     # 128 adopted in r3. NOTE at 128 iters Stan's 75/50 buffers leave no
     # complete window, so M⁻¹ stays at the gradient seed the whole warmup —
@@ -343,7 +348,7 @@ def main():
             st, _, wstats = fused_warmup_phase_crosschain(
                 spec_early if early else spec, state,
                 fl["is_adapt"].shape[0], block, flags=fl, depth_caps=caps,
-                pair=pair,
+                pair=pair, chain_chunks=chain_chunks,
             )
             return st, jnp.sum(wstats["n_steps"])
 
