@@ -363,3 +363,22 @@ def test_fused_cc_rank_update_lowrank():
     cov_emp = np.cov(draws.T)
     np.testing.assert_allclose(np.diag(cov_emp),
                                np.diag(np.asarray(target.cov)), rtol=0.35)
+
+
+def test_fused_cc_warmup_chain_chunks_identical():
+    """Warmup chain chunking (the ≥8192-chain VMEM mitigation): sub-batches
+    run sequentially inside each block dispatch; the block replay sees the
+    full theta record, so adaptation — and here the whole run — is
+    identical to unchunked."""
+    a = _run(True, fuse_warmup_block=8, fuse_pair=True, fuse_draws=8)
+    b = _run(True, fuse_warmup_block=8, fuse_pair=True, fuse_draws=8,
+             fuse_chain_chunks=4)
+    np.testing.assert_array_equal(np.asarray(a.thetas), np.asarray(b.thetas))
+    np.testing.assert_array_equal(
+        np.asarray(a.final_state.metric.m_inv),
+        np.asarray(b.final_state.metric.m_inv),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.final_state.adapt.da.eps),
+        np.asarray(b.final_state.adapt.da.eps),
+    )
