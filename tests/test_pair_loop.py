@@ -185,3 +185,61 @@ def test_pair_per_chain_fused_warmup():
     draws = np.asarray(paired.thetas[192:]).reshape(-1, D)
     assert np.abs(draws.mean(0)).max() < 0.3
     assert np.abs(draws.std(0) - 1.0).max() < 0.3
+
+
+def test_pair_body_bitwise_eager_deep_trees():
+    """Small step size → cap-terminated depth-8 trees: exercises the high
+    checkpoint slots and repeated doubling merges."""
+    crit = GeneralisedNoUTurn(max_depth=8)
+    for seed in range(2):
+        bad = _compare_eager(crit, "multinomial", "diagonal", 0.05,
+                             std_gaussian(D), seed, True)
+        assert not bad, (seed, bad)
+
+
+def test_pair_body_bitwise_eager_traced_cap():
+    """Traced depth cap (the transient-gated warmup schedule) binds the
+    pair body identically to the single-leaf body."""
+    crit = GeneralisedNoUTurn(max_depth=6)
+    target = std_gaussian(D)
+    metric = make_metric("diagonal", D, dtype=jnp.float64)
+    h = Hamiltonian(metric=metric, target=target)
+    from advancedhmc_tpu.trajectory import Trajectory as _T
+    from advancedhmc_tpu import Leapfrog as _L
+
+    traj = _T(_L(step_size=jnp.asarray(0.1, jnp.float64)), crit,
+              "multinomial")
+    key = jax.random.PRNGKey(2)
+    theta0 = 0.3 * jax.random.normal(jax.random.PRNGKey(102), (D,),
+                                     jnp.float64)
+    z0 = h.init_phasepoint(jax.random.PRNGKey(202), theta0)
+    st1, _, b1, _ = nuts_transition(key, h, traj, z0,
+                                    _return_machinery=True,
+                                    _slim_candidates=True, _traced_cap=True)
+    _, _, b2, _ = nuts_transition(key, h, traj, z0, _return_machinery=True,
+                                  _slim_candidates=True, _traced_cap=True,
+                                  _pair=True)
+    cap = jnp.asarray(3, jnp.int32)
+    s1 = dict(st1, cap=cap)
+    s2 = dict(st1, cap=cap)
+    it = 0
+    while not bool(s2["done"]) and it < 40:
+        s2 = b2(s2)
+        it += 1
+
+        def tot(s):
+            return int(s["n_alpha"]) + int(s["s_n_alpha"])
+
+        while (tot(s1) < tot(s2)
+               or (tot(s1) == tot(s2)
+                   and int(s1["leaf"]) != int(s2["leaf"]))) \
+                and not bool(s1["done"]):
+            s1 = b1(s1)
+    while not bool(s1["done"]):
+        s1 = b1(s1)
+    assert int(s1["depth"]) <= 3 and int(s2["depth"]) <= 3
+    for k in s1:
+        for x, y in zip(jax.tree_util.tree_leaves(s1[k]),
+                        jax.tree_util.tree_leaves(s2[k])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=k)
