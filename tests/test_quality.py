@@ -29,6 +29,10 @@ MODULES = [
     "advancedhmc_tpu.riemannian",
     "advancedhmc_tpu.ops.fused_leapfrog",
     "advancedhmc_tpu.utils",
+    "advancedhmc_tpu.models.dists",
+    "advancedhmc_tpu.transforms",
+    "advancedhmc_tpu.chees",
+    "advancedhmc_tpu.experimental",
 ]
 
 
