@@ -143,6 +143,11 @@ def main():
             n=1000, p=dim - 1, dtype=jnp.float32,
             resid_dtype=os.environ.get("AHMC_BENCH_RESID_DTYPE") or None,
             x_dtype=os.environ.get("AHMC_BENCH_X_DTYPE") or None,
+            # one-pass Pallas likelihood (ops/fused_logistic): logits stay
+            # in VMEM between fwd and bwd. Re-measurable per round — the
+            # r4 profile shows the elementwise likelihood tail is the
+            # bandwidth-bound piece of the pair loop.
+            fused=os.environ.get("AHMC_BENCH_FUSED_LIK", "0") == "1",
         )
 
     # nutpie-style gradient-seeded M⁻¹: warmup 8.5s → 3.4s at bench shape
