@@ -618,11 +618,18 @@ def main():
             # ESS is per-dimension independent, so chunk the dim axis — the
             # full-batch FFT ((2n, C, D) complex intermediates) exhausts TPU
             # HBM at bench shape.
+            # cap the validation pool at 8192 chains: the check's point is
+            # the subsample→pool scaling assumption, and ×16 already
+            # validates it; all-16k/32k FFTs re-upload GBs over the tunnel
+            # and dominate bench wall at big pools
+            n_val = min(n_chains, 8192)
             ess_all = np.concatenate([
-                np.asarray(ess_fn(jnp.asarray(thetas_np[:, :, j:j + 10])))
+                np.asarray(ess_fn(jnp.asarray(
+                    thetas_np[:, :n_val, j:j + 10])))
                 for j in range(0, dim, 10)
             ])
-            ratio = float(np.median(ess_all)) / max(ess_total, 1e-9)
+            est_val = float(np.median(ess)) * (n_val / max_ess_chains)
+            ratio = float(np.median(ess_all)) / max(est_val, 1e-9)
             extras_all = {
                 "median_pooled_ess_allchains": round(float(np.median(ess_all)), 1),
                 "extrapolation_ratio": round(ratio, 4),
@@ -688,7 +695,12 @@ def main():
         # schedule is nearly free. Small smokes keep the NUTS warmup length.
         n_warm_c = int(os.environ.get(
             "AHMC_BENCH_CHEES_WARMUP", 256 if n_warmup >= 128 else n_warmup))
-        n_draws_c = int(os.environ.get("AHMC_BENCH_CHEES_DRAWS", n_draws))
+        # big-pool default trim: at >8192 chains the (draws, C, D) theta
+        # transfer back over the tunnel dominates the chees section's wall;
+        # 256 draws × 16k chains is still a 4M-sample pool
+        n_draws_c = int(os.environ.get(
+            "AHMC_BENCH_CHEES_DRAWS",
+            n_draws if n_chains <= 8192 else min(n_draws, 256)))
         max_steps_c = int(os.environ.get("AHMC_BENCH_CHEES_MAX_STEPS",
                                          2 ** max_depth))
         cfg_c = AdaptorConfig(
