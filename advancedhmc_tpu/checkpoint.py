@@ -40,9 +40,16 @@ def _manifest_of(tree):
     return out
 
 
-def _validate_manifest(stored, like_tree, what="checkpoint"):
+def _validate_manifest(stored, like_tree, what="checkpoint",
+                       allow_narrowing=False):
     """Compare a stored manifest against `like_tree`'s structure; raise with
-    a field-level message on any mismatch."""
+    a field-level message on any mismatch.
+
+    dtype differences: same-width/widening loads warn and cast (x64 tests vs
+    f32 production runs legitimately round-trip); NARROWING loads (f64→f32,
+    int width loss, kind changes) raise unless `allow_narrowing=True` —
+    silently dropping precision on restore is a data-loss bug, not a
+    convenience (ADVICE r4)."""
     expected = _manifest_of(like_tree)
     if len(stored) != len(expected):
         s_paths = [m[0] for m in stored]
@@ -68,14 +75,20 @@ def _validate_manifest(stored, like_tree, what="checkpoint"):
                 "adaptor configuration?)"
             )
         if sd != ed:
-            # dtype differences are castable — warn, don't fail (x64 tests
-            # vs f32 production runs legitimately round-trip)
+            sdt, edt = np.dtype(sd), np.dtype(ed)
+            narrowing = (edt.kind != sdt.kind) or (edt.itemsize < sdt.itemsize)
+            if narrowing and not allow_narrowing:
+                raise ValueError(
+                    f"{what} field {sp!r} stored as {sd} but the target "
+                    f"expects {ed}: loading would narrow (lose precision or "
+                    "change kind). Pass allow_narrowing=True to cast anyway."
+                )
             warnings.warn(
                 f"{what} field {sp!r} stored as {sd}, loading as {ed}"
             )
 
 
-def _load_leaves(data, prefix, like_tree, what):
+def _load_leaves(data, prefix, like_tree, what, allow_narrowing=False):
     """Validate (manifest when present, shapes always) and rebuild the
     pytree from `prefix`-keyed npz entries."""
     import jax.numpy as jnp
@@ -89,7 +102,8 @@ def _load_leaves(data, prefix, like_tree, what):
         )
     if MANIFEST_KEY in data.files:
         stored = json.loads(bytes(data[MANIFEST_KEY]).decode())
-        _validate_manifest(stored, like_tree, what=what)
+        _validate_manifest(stored, like_tree, what=what,
+                           allow_narrowing=allow_narrowing)
     elif _LEGACY_TREEDEF_KEY in data.files:
         # Pre-manifest checkpoint: treedef strings are version-unstable, so
         # only warn on mismatch; shape validation below still protects
@@ -125,16 +139,19 @@ def save_state(path: str, state: HMCState) -> None:
     )
 
 
-def load_state(path: str, like: HMCState) -> HMCState:
+def load_state(path: str, like: HMCState,
+               allow_narrowing: bool = False) -> HMCState:
     """Load a checkpoint into the structure of `like` (same spec/shape run).
 
     The stored manifest (per-leaf path/shape/dtype) is validated against
     `like`: a structure mismatch (different spec, chain count, or dimension)
     raises naming the offending FIELD instead of silently misassigning
-    leaves by index.
+    leaves by index. Narrowing dtype loads (e.g. f64 checkpoint into an f32
+    state) raise unless `allow_narrowing=True`.
     """
     data = np.load(path)
-    return _load_leaves(data, "leaf_", like, what="checkpoint")
+    return _load_leaves(data, "leaf_", like, what="checkpoint",
+                        allow_narrowing=allow_narrowing)
 
 
 def save_result(path: str, result) -> None:
@@ -160,12 +177,13 @@ def save_result(path: str, result) -> None:
     np.savez(path, **payload)
 
 
-def load_result(path: str, like_state=None):
+def load_result(path: str, like_state=None, allow_narrowing: bool = False):
     """Load a SampleResult saved by `save_result`.
 
     `like_state` (an HMCState with matching structure, e.g. from init_state
     on the same spec) restores `final_state`; without it, final_state is
-    None and only draws/stats/summaries load.
+    None and only draws/stats/summaries load. Narrowing dtype loads raise
+    unless `allow_narrowing=True` (see `load_state`).
     """
     from .sampler import SampleResult
 
@@ -184,7 +202,8 @@ def load_result(path: str, like_state=None):
     final_state = None
     if like_state is not None:
         final_state = _load_leaves(
-            data, "state.leaf_", like_state, what="saved state"
+            data, "state.leaf_", like_state, what="saved state",
+            allow_narrowing=allow_narrowing,
         )
     return SampleResult(
         thetas=thetas,

@@ -142,6 +142,10 @@ def make_chees_step(target, cfg: AdaptorConfig, chees: CheesConfig,
         # post-warmup uses the finalized (iterate-averaged) T
         t_mean = jnp.where(is_adapt, cs.trajectory_length,
                            jnp.exp(cs.log_t_avg))
+        # τ-schedule multipliers are a WARMUP exploration aid: force s=1 on
+        # draw iterations so a user schedule with a non-1 tail cannot
+        # silently rescale post-warmup trajectory lengths (ADVICE r4).
+        s = jnp.where(is_adapt, s, jnp.ones_like(s))
         tau = u * t_mean * s
         (theta_n, lp_n, grad_n), (theta_p, v_p, alpha), stats = (
             chees_transition(k_tr, target, metric_c, adapt.da.eps, tau,
@@ -229,7 +233,10 @@ def sample_chees(
 
     `t_schedule` ((n_samples,) multipliers, or the string "sweep" for
     `chees_tau_sweep`'s long→converged warmup schedule) scales τ per
-    iteration during warmup — multiscale-geometry exploration aid.
+    iteration during WARMUP only — a multiscale-geometry exploration aid.
+    On draw iterations the multiplier is forced to 1 regardless of the
+    schedule's tail, so post-warmup trajectory lengths always follow the
+    finalized adapted T.
 
     Hard-geometry guidance (funnels and similar): pair ChEES with
     `da=DualAveragingConfig(delta=0.95)` and a large `init_t` exactly as the

@@ -47,10 +47,25 @@ from ..transforms import (
 )
 
 
+def _sum_on_support(ok, lp_elem):
+    """Sum elementwise log densities with a support guard: off-support
+    elements contribute −inf (so the block total is −inf) instead of a NaN
+    or an improper constant. The default transforms never leave the
+    support, so under `target_of(...)` the guard is a no-op; it exists so a
+    user-overridden transform (e.g. Identity on a bounded distribution)
+    yields a proper truncated density the −Inf-clamp machinery rejects
+    cleanly rather than a silent improper target (ADVICE r4)."""
+    lp_elem = jnp.asarray(lp_elem)
+    neg_inf = jnp.asarray(-jnp.inf, lp_elem.dtype)
+    return jnp.sum(jnp.where(ok, lp_elem, neg_inf))
+
+
 class Distribution:
     """Base: `logpdf(y)` returns the SUM of elementwise log densities over
     the block (parameters broadcast against y); `default_transform(size)`
-    maps the support onto R^size for unconstrained sampling."""
+    maps the support onto R^size for unconstrained sampling. Bounded
+    distributions guard their support (−inf off-support, see
+    `_sum_on_support`)."""
 
     def logpdf(self, y):
         raise NotImplementedError
@@ -80,11 +95,12 @@ class LogNormal(Distribution):
 
     def logpdf(self, y):
         y = jnp.asarray(y)
-        ly = jnp.log(y)
+        ly = jnp.log(jnp.maximum(y, jnp.finfo(y.dtype).tiny))
         z = (ly - self.loc) / self.scale
-        return jnp.sum(
+        return _sum_on_support(
+            y > 0,
             -0.5 * jnp.square(z) - ly - jnp.log(self.scale)
-            - 0.5 * jnp.log(2.0 * jnp.pi)
+            - 0.5 * jnp.log(2.0 * jnp.pi),
         )
 
     def default_transform(self, size):
@@ -144,7 +160,7 @@ class Exponential(Distribution):
     def logpdf(self, y):
         y = jnp.asarray(y)
         r = jnp.asarray(self.rate, y.dtype)
-        return jnp.sum(jnp.log(r) - r * y + jnp.zeros_like(y))
+        return _sum_on_support(y >= 0, jnp.log(r) - r * y + jnp.zeros_like(y))
 
     def default_transform(self, size):
         return Positive(size)
@@ -163,8 +179,9 @@ class Gamma(Distribution):
         y = jnp.asarray(y)
         a = jnp.asarray(self.concentration, y.dtype)
         b = jnp.asarray(self.rate, y.dtype)
-        return jnp.sum(
-            a * jnp.log(b) - gammaln(a) + (a - 1.0) * jnp.log(y) - b * y
+        return _sum_on_support(
+            y > 0,
+            a * jnp.log(b) - gammaln(a) + (a - 1.0) * jnp.log(y) - b * y,
         )
 
     def default_transform(self, size):
@@ -180,8 +197,9 @@ class InverseGamma(Distribution):
         y = jnp.asarray(y)
         a = jnp.asarray(self.concentration, y.dtype)
         b = jnp.asarray(self.scale, y.dtype)
-        return jnp.sum(
-            a * jnp.log(b) - gammaln(a) - (a + 1.0) * jnp.log(y) - b / y
+        return _sum_on_support(
+            y > 0,
+            a * jnp.log(b) - gammaln(a) - (a + 1.0) * jnp.log(y) - b / y,
         )
 
     def default_transform(self, size):
@@ -197,9 +215,10 @@ class Beta(Distribution):
         y = jnp.asarray(y)
         a = jnp.asarray(self.a, y.dtype)
         b = jnp.asarray(self.b, y.dtype)
-        return jnp.sum(
+        return _sum_on_support(
+            (y > 0) & (y < 1),
             (a - 1.0) * jnp.log(y) + (b - 1.0) * jnp.log1p(-y)
-            - betaln(a, b)
+            - betaln(a, b),
         )
 
     def default_transform(self, size):
@@ -213,9 +232,11 @@ class Uniform(Distribution):
 
     def logpdf(self, y):
         y = jnp.asarray(y)
-        return jnp.sum(
-            -jnp.log(jnp.asarray(self.hi - self.lo, y.dtype))
-            + jnp.zeros_like(y)
+        lo = jnp.asarray(self.lo, y.dtype)
+        hi = jnp.asarray(self.hi, y.dtype)
+        return _sum_on_support(
+            (y >= lo) & (y <= hi),
+            -jnp.log(hi - lo) + jnp.zeros_like(y),
         )
 
     def default_transform(self, size):
@@ -233,7 +254,7 @@ class Dirichlet(Distribution):
         y = jnp.asarray(y)
         a = jnp.asarray(self.alpha, y.dtype)
         return (
-            jnp.sum((a - 1.0) * jnp.log(y))
+            _sum_on_support(y > 0, (a - 1.0) * jnp.log(y))
             + gammaln(jnp.sum(a)) - jnp.sum(gammaln(a))
         )
 

@@ -647,7 +647,14 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
     # doubling (~1 per transition; the odd-leaf slot of a lone unit).
     # ----------------------------------------------------------------------
     def body_pair(st):
-        assert force_directions is None and coupled_key is None
+        # force_directions is an oracle-test hook; the pair loop is covered
+        # against the oracle transitively through its bitwise equality with
+        # the single-leaf body (tests/test_pair_loop.py), so it only needs
+        # the production direction draws (free, or coupled across chains).
+        assert force_directions is None, (
+            "force_directions is unsupported on the pair loop; use the "
+            "single-leaf body (pair=False) for forced-direction runs"
+        )
         key1, k_dir1, k_res1, k_mh1 = jax.random.split(st["key"], 4)
         key2, k_dir2, k_res2, k_mh2 = jax.random.split(key1, 4)
         eps = st["eps"]
@@ -670,7 +677,16 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), st["depth"])
         start = i_a == 0
         # --- doubling start: direction, edge pick, subtree reset (A only) ---
-        v = jnp.where(start, rand_sign(k_dir1), st["v"])
+        if coupled_key is not None:
+            # shared doubling direction across vmapped chains, fold-in by
+            # depth — IDENTICAL to the single-leaf body's coupled draw
+            # (rand_coupled semantics, ref utilities.jl:39-47). k_dir1 is
+            # still split (and discarded) so the key stream stays bitwise
+            # aligned with two single-leaf iterations.
+            v_draw = rand_sign(jax.random.fold_in(coupled_key, st["depth"]))
+        else:
+            v_draw = rand_sign(k_dir1)
+        v = jnp.where(start, v_draw, st["v"])
         fwd = v > 0
         z_start_edge = _where_z(fwd, st["t_zright"], st["t_zleft"])
         z_edge = _where_z(start, z_start_edge, st["z_edge"])
@@ -1001,7 +1017,9 @@ def nuts_transition(key, h: Hamiltonian, traj, z0: PhasePoint,
         return state, cond, (body_pair if _pair else body), fresh_fields
 
     assert not slim, "_slim_candidates requires _return_machinery"
-    final = jax.lax.while_loop(cond, body, state)
+    # honor _pair on the direct (non-machinery) path too — silently running
+    # the single-leaf body under a pair=True flag was ADVICE r4's top item
+    final = jax.lax.while_loop(cond, body_pair if _pair else body, state)
 
     zcand = final["zcand"]
     h_cand = zcand.energy()

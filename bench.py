@@ -639,10 +639,13 @@ def main():
             # estimate disagrees by >15% the extrapolation (and hence the
             # headline) is not trustworthy — fail loudly rather than
             # publish it. Measured ratio at bench shape: 0.98-1.00.
-            assert 0.85 < ratio < 1.15, (
-                f"ESS subsample extrapolation off by {ratio:.3f}x — "
-                "headline ESS/s is unreliable at this configuration"
-            )
+            # RuntimeError, not assert: the gate must survive python -O
+            # (ADVICE r4) — a stripped honesty gate is no gate at all.
+            if not (0.85 < ratio < 1.15):
+                raise RuntimeError(
+                    f"ESS subsample extrapolation off by {ratio:.3f}x — "
+                    "headline ESS/s is unreliable at this configuration"
+                )
         else:
             extras_all = {}
         # per-chain-sum estimator on the same draws: the apples-to-apples

@@ -238,6 +238,42 @@ def test_checkpoint_field_level_errors_and_legacy(tmp_path):
     )
 
 
+def test_checkpoint_narrowing_cast_raises(tmp_path):
+    """Narrowing dtype loads (f64 checkpoint → f32 state) must RAISE unless
+    explicitly allowed — a silent precision-losing cast is a data-loss bug;
+    widening (f32 → f64) keeps the warn-and-cast behavior (ADVICE r4)."""
+    import pytest
+
+    from advancedhmc_tpu import init_state
+    from advancedhmc_tpu.sampler import SampleSpec
+
+    target = std_gaussian(D)
+    spec = SampleSpec(target=target, kernel=_kernel(),
+                      adaptor=AdaptorConfig(kind=STAN), cross_chain=False)
+
+    def state_of(dt):
+        return init_state(jax.random.PRNGKey(4), spec,
+                          make_metric("diagonal", D, dtype=dt),
+                          jnp.zeros((3, D), dt), init_eps=0.3)
+
+    s64, s32 = state_of(jnp.float64), state_of(jnp.float32)
+    p64 = str(tmp_path / "ck64.npz")
+    save_state(p64, s64)
+
+    with pytest.raises(ValueError, match="narrow"):
+        load_state(p64, s32)
+    with pytest.warns(UserWarning, match="stored as float64"):
+        restored = load_state(p64, s32, allow_narrowing=True)
+    assert np.asarray(restored.z.theta).dtype == np.float32
+
+    # widening direction: warn-and-cast, no error
+    p32 = str(tmp_path / "ck32.npz")
+    save_state(p32, s32)
+    with pytest.warns(UserWarning, match="stored as float32"):
+        restored64 = load_state(p32, s64)
+    assert np.asarray(restored64.z.theta).dtype == np.float64
+
+
 def test_diagnostics_sanity():
     rng = np.random.default_rng(0)
     iid = rng.normal(size=(1000, 4, 3))

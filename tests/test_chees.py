@@ -91,6 +91,21 @@ def test_chees_drop_warmup():
     assert not bool(np.asarray(out.stats["is_adapt"]).any())
 
 
+def test_chees_t_schedule_warmup_only():
+    """A t_schedule with a non-1 tail must NOT rescale post-warmup
+    trajectory lengths (ADVICE r4): draw iterations force the multiplier to
+    1, so τ_draw = u·T_final ≤ T_final always."""
+    n_samples, n_adapts = 120, 60
+    sched = np.ones(n_samples)
+    sched[n_adapts:] = 100.0  # would 100× the draw trajectories if applied
+    out = _run(key=5, n_samples=n_samples, n_adapts=n_adapts,
+               t_schedule=sched)
+    cs = out.final_state[5]  # CheesState in the scan carry
+    t_final = float(np.exp(np.asarray(cs.log_t_avg)))
+    tl_post = np.asarray(out.stats["trajectory_length"][n_adapts:])
+    assert tl_post.max() <= t_final * 1.0001, (tl_post.max(), t_final)
+
+
 def test_chees_tail_averaging_tracks_converged_iterate():
     # With T0 far from the optimum, the whole-history Polyak average lags
     # the SGA descent; tail-averaging (avg_start = n_adapts//2, the

@@ -278,6 +278,37 @@ def test_dists_logpdfs_match_scipy():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_dists_support_guard():
+    """Bounded logpdfs return −inf off-support (ADVICE r4): with an
+    overridden transform (e.g. Identity on Uniform) the target is then a
+    proper truncated density rejected by the −Inf clamp, not a silent
+    improper constant. In-support values are unchanged (pinned against
+    scipy above)."""
+    from advancedhmc_tpu.models import dists as d
+
+    off = [
+        (d.Uniform(0.0, 1.0), 1.5),
+        (d.Uniform(0.0, 1.0), -0.2),
+        (d.Gamma(2.5, 1.3), -1.0),
+        (d.InverseGamma(2.0, 3.0), 0.0),
+        (d.Beta(2.0, 3.5), 1.2),
+        (d.Exponential(1.7), -0.5),
+        (d.LogNormal(0.1, 0.7), -1.0),
+        (d.Dirichlet((1.5, 2.0, 3.0)), jnp.asarray([0.5, 0.7, -0.2])),
+    ]
+    for dist, pt in off:
+        lp = float(dist.logpdf(jnp.asarray(pt, jnp.float64)))
+        assert lp == -np.inf, (repr(dist), pt, lp)
+    # a block with one off-support element is −inf overall
+    lp = float(d.Uniform(0.0, 1.0).logpdf(
+        jnp.asarray([0.5, 2.0], jnp.float64)))
+    assert lp == -np.inf
+    # boundary semantics: Exponential includes 0, Uniform includes ends
+    assert np.isfinite(float(d.Exponential(1.0).logpdf(jnp.asarray(0.0))))
+    assert np.isfinite(float(d.Uniform(0.0, 1.0).logpdf(
+        jnp.asarray([0.0, 1.0], jnp.float64))))
+
+
 def test_target_of_gamma_moments():
     """target_of(Gamma) samples the right distribution through the default
     Positive transform (≅ LogDensityDistribution, common.jl:18-31)."""
