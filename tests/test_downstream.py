@@ -163,3 +163,32 @@ def test_chees_consumer_surface():
     assert th.shape == (50, 32, 6)
     np.testing.assert_allclose(th.mean(), 0.0, atol=0.2)
     assert "trajectory_length" in res.stats
+
+
+def test_summary_min_ess_steering_warning():
+    """summary() warns when one dimension's bulk ESS collapses below 0.2×
+    the median (VERDICT r4 weak #3: surface the NUTS-vs-ChEES decision) and
+    stays silent on balanced mixing."""
+    import warnings
+
+    from advancedhmc_tpu.sampler import SampleResult
+
+    rng = np.random.default_rng(0)
+    n, c, d = 600, 4, 4
+    x = rng.normal(size=(n, c, d))
+    # dim 0: near-unit-root AR(1) → bulk ESS collapses vs the iid dims
+    for t in range(1, n):
+        x[t, :, 0] = 0.995 * x[t - 1, :, 0] + 0.1 * x[t, :, 0]
+
+    def result_of(arr):
+        return SampleResult(thetas=jnp.asarray(arr), stats={},
+                            warmup_stats=None, final_state=None,
+                            target=std_gaussian(d))
+
+    with pytest.warns(UserWarning, match="min/median bulk-ESS"):
+        result_of(x).summary(verbose=False)
+
+    y = rng.normal(size=(n, c, d))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        result_of(y).summary(verbose=False)
