@@ -139,10 +139,20 @@ def main():
         target = hierarchical_logistic_nc(n=1000, p=dim - 1,
                                           dtype=jnp.float32)
     else:
+        # bf16 design matrix DEFAULT-ON at dim ≥ 512 (r5; VERDICT r4 next
+        # #4): +5.5% at dim 1000 (PERF.md dim-1000 table), and every run
+        # with it active self-validates via the importance-reweighting
+        # posterior-equivalence gate below (bf16x_* extras, hard-gated;
+        # CPU twin in tests/test_bf16_design.py). Set AHMC_BENCH_X_DTYPE
+        # =float32 to disable explicitly.
+        _x_env = os.environ.get("AHMC_BENCH_X_DTYPE", "")
+        x_dtype = (_x_env or ("bfloat16" if dim >= 512 else None))
+        if x_dtype in ("float32", "f32", "none"):
+            x_dtype = None
         target = hierarchical_logistic(
             n=1000, p=dim - 1, dtype=jnp.float32,
             resid_dtype=os.environ.get("AHMC_BENCH_RESID_DTYPE") or None,
-            x_dtype=os.environ.get("AHMC_BENCH_X_DTYPE") or None,
+            x_dtype=x_dtype,
             # one-pass Pallas likelihood (ops/fused_logistic): logits stay
             # in VMEM between fwd and bwd. Re-measurable per round — the
             # r4 profile shows the elementwise likelihood tail is the
@@ -436,7 +446,27 @@ def main():
         # paying it here makes warmup_s an execution measurement with the
         # same semantics as sampling_s. Results are discarded — the timed
         # loop below restarts from `state`.
+        #
+        # r5 (VERDICT r4 next #1c): the throwaway runs the SAME compiled
+        # program on a divergent-step-size clone of the state (ε=1e4 —
+        # every leapfrog diverges at its first leaf, so each transition is
+        # one loop iteration instead of ~17 leaves). Program load is a
+        # property of the executable, not the data, so this pays the full
+        # load/upload cost at ~1/10 the execution cost of a real warmup —
+        # warmup_load_s drops from ~3.1 s to ~1 s at bench shape.
         if os.environ.get("AHMC_BENCH_WARM_THROWAWAY", "1") == "1":
+            state_div = state.replace(adapt=state.adapt.replace(
+                da=DualAveragingState.init(
+                    jnp.full_like(state.adapt.da.eps, 1e4))))
+
+            def _frozen_flags(fl):
+                # all-False adaptation flags (same shapes/dtypes → same
+                # executable): without this, dual averaging corrects the
+                # divergent ε within a few blocks and the throwaway tail
+                # runs DEEP trees — measured 8.4 s vs ~1 s frozen.
+                return {k: (jnp.zeros_like(v) if v.dtype == bool else v)
+                        for k, v in fl.items()}
+
             seen = set()
             for pos0, size, block, early in schedule:
                 sig = (size, block, early)
@@ -444,7 +474,8 @@ def main():
                     continue
                 seen.add(sig)
                 jax.block_until_ready(run_warm_chunk(
-                    state, chunk_flags(pos0, size), block, early))
+                    state_div, _frozen_flags(chunk_flags(pos0, size)),
+                    block, early))
             if eps_research and early_depth:
                 jax.block_until_ready(research_eps(state))
             warm_load_s = time.time() - t0
@@ -486,17 +517,25 @@ def main():
     # One throwaway execution after compile: on a fresh process the first
     # executions over the tunnel pay program-load/data-upload costs (measured
     # 1.9x on the whole timed window with a cold cache); the result is
-    # discarded so the timed loop still starts from `state`.
+    # discarded so the timed loop still starts from `state`. As in the
+    # warmup throwaway, a divergent-ε clone makes the load execution ~10×
+    # cheaper than a real chunk (same executable, 1-leaf trees).
+    from advancedhmc_tpu.adaptation.stepsize import (
+        DualAveragingState as _DAS,
+    )
+
+    state_div = state.replace(adapt=state.adapt.replace(
+        da=_DAS.init(jnp.full_like(state.adapt.da.eps, 1e4))))
     if use_ragged:
         run_chunk_ragged.lower(state).compile()
-        jax.block_until_ready(run_chunk_ragged(state))
+        jax.block_until_ready(run_chunk_ragged(state_div))
     elif fuse > 1:
         run_chunk_fused.lower(state).compile()
-        jax.block_until_ready(run_chunk_fused(state))
+        jax.block_until_ready(run_chunk_fused(state_div))
     else:
         run_chunk_collect.lower(state, chunk_flags(n_warmup, chunk)).compile()
         jax.block_until_ready(
-            run_chunk_collect(state, chunk_flags(n_warmup, chunk)))
+            run_chunk_collect(state_div, chunk_flags(n_warmup, chunk)))
     thetas_chunks = []
     steps_chunks = []
     div_chunks = []
@@ -525,6 +564,29 @@ def main():
     total_leapfrogs = float(sum(np.asarray(s, np.float64).sum()
                                 for s in steps_chunks))
     max_ess_chains = min(n_chains, 512)
+
+    def _slot_accounting(ns_arrays, widths=(1, 2, 4)):
+        """Exact W-slot loop iteration counts from the measured per-
+        transition useful-leaf counts (PERF.md roofline note). A W-slot
+        body may not straddle doublings (the pair invariant), so a
+        transition with L useful leaves visits doublings of sizes
+        1, 2, 4, ... with a possibly-partial last one; each contributes
+        ceil(part/W) iterations."""
+        ns = np.concatenate([np.asarray(s).ravel() for s in ns_arrays])
+        ns = ns[ns > 0].astype(np.int64)
+        out = {}
+        for w in widths:
+            iters = np.zeros_like(ns)
+            rem = ns.copy()
+            size = 1
+            while (rem > 0).any():
+                part = np.minimum(rem, size)
+                iters += -(-part // w)          # ceil
+                rem -= part
+                size *= 2
+            out[w] = float(iters.sum())
+        return float(ns.sum()), out
+
     extras = {}
     if use_ragged:
         from advancedhmc_tpu.diagnostics import effective_sample_size_ragged
@@ -592,6 +654,42 @@ def main():
         mean_beta_norm = float(np.linalg.norm(
             thetas_np[:, :, 1:].mean((0, 1))))
 
+        # --- bf16-X posterior-equivalence gate (hardware side; VERDICT r4
+        # next #4). The rounded design matrix is a data perturbation; gate
+        # statistical exchangeability by importance reweighting the sampled
+        # (bf16-X) posterior to the exact-X one: sd(log w) ≪ 1 and
+        # reweighting ESS fraction ≈ 1, else fail loudly (same pattern as
+        # the ESS-extrapolation gate). CPU twin: tests/test_bf16_design.py.
+        if model == "logistic" and x_dtype is not None:
+            target_exact = hierarchical_logistic(
+                n=1000, p=dim - 1, dtype=jnp.float32)
+            rng_g = np.random.default_rng(0)
+            flat = thetas_np.reshape(-1, dim)
+            sub = flat[rng_g.choice(len(flat), min(4096, len(flat)),
+                                    replace=False)]
+            sub_j = jnp.asarray(sub)
+            lp_e = np.asarray(jax.jit(jax.vmap(target_exact.logdensity))(
+                sub_j), np.float64)
+            lp_b = np.asarray(jax.jit(jax.vmap(target.logdensity))(
+                sub_j), np.float64)
+            logw = lp_e - lp_b
+            sd_logw = float(logw.std())
+            lw = logw - logw.max()
+            w = np.exp(lw)
+            w /= w.sum()
+            ess_frac = float(1.0 / (len(w) * np.sum(w**2)))
+            extras_bf16 = {"bf16x_logw_sd": round(sd_logw, 4),
+                           "bf16x_rew_ess_frac": round(ess_frac, 4)}
+            if sd_logw > 0.5 or ess_frac < 0.5:
+                raise RuntimeError(
+                    f"bf16-X posterior-equivalence gate failed: sd(log w)="
+                    f"{sd_logw:.3f}, reweighting ESS fraction="
+                    f"{ess_frac:.3f} — the rounded design matrix changed "
+                    "the posterior; rerun with AHMC_BENCH_X_DTYPE=float32"
+                )
+        else:
+            extras_bf16 = {}
+
         # Bulk ESS pooled over chains (chains subsampled to bound FFT cost)
         from advancedhmc_tpu.diagnostics import (
             effective_sample_size as ess_fn,
@@ -658,9 +756,16 @@ def main():
             ))
             for j in range(0, dim, ess_dim_chunk)
         ])
+        useful, slot_iters = _slot_accounting(steps_chunks)
         extras = {"median_ess_perchain_est": round(
             float(np.median(ess_pc)) * (n_chains / max_ess_chains), 1),
-            **extras_all}
+            # W-slot loop efficiency from the measured tree-size stream:
+            # useful leaves / (W × iterations). Feeds the PERF.md roofline
+            # note (pair-loop slot optimality + leaf-quad projection).
+            "slot_eff_single": round(useful / slot_iters[1], 4),
+            "slot_eff_pair": round(useful / (2 * slot_iters[2]), 4),
+            "slot_eff_quad": round(useful / (4 * slot_iters[4]), 4),
+            **extras_all, **extras_bf16}
     ess_per_s = ess_total / t_draw / n_devices
     lf_per_s = total_leapfrogs / t_draw / n_devices
 
