@@ -52,7 +52,8 @@ from .adaptation import (
     DualAveragingConfig,
     stan_schedule,
 )
-from .sampler import HMCState, SampleResult, SampleSpec, init_state, sample, sample_step
+from .sampler import (HMCState, SampleResult, SampleSpec, fanout_warmup_state,
+                      init_state, sample, sample_step)
 from .chees import chees_tau_sweep, sample_chees
 from .constructors import HMC, HMCDA, NUTS, SamplerConfig, make_integrator
 from .diagnostics import (ebfmi, effective_sample_size, ess_bulk,
@@ -77,7 +78,7 @@ __all__ = [
     "find_good_stepsize",
     "AdaptorConfig", "AdaptState", "DualAveragingConfig", "stan_schedule",
     "HMCState", "SampleSpec", "SampleResult", "init_state", "sample",
-    "sample_step", "sample_chees", "chees_tau_sweep",
+    "sample_step", "fanout_warmup_state", "sample_chees", "chees_tau_sweep",
     "NUTS", "HMC", "HMCDA", "SamplerConfig", "make_integrator",
     "ebfmi", "effective_sample_size", "ess_bulk", "ess_tail", "rhat",
     "split_rhat", "summarize",

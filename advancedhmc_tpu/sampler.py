@@ -170,6 +170,52 @@ def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
     return transition_static(k_tr, h, traj, z, coupled_key=coupled_key)
 
 
+def fanout_warmup_state(spec: SampleSpec, state: HMCState,
+                        n_chains: int) -> HMCState:
+    """Fan a warmed CROSS-CHAIN state out to a larger chain pool (warmup
+    pool sizing, r5).
+
+    Cross-chain adaptation pools its Welford/dual-averaging statistics over
+    the whole chain batch, so the (ε, M⁻¹) estimates saturate far below
+    production pool sizes (a 25-iteration Stan window over 4096 chains is
+    ~100k observations) — while the warmup WALL scales with the pool
+    (chain-chunked dispatch is sequential in the sub-batches, PERF.md).
+    Warming up a representative sub-pool and fanning out therefore divides
+    the warmup wall by the chunk count at identical adaptation quality.
+
+    The warmed positions are approximate posterior draws; they are tiled
+    cyclically onto `n_chains` (their cached ℓπ/∇ℓπ/ℓκ tile with them, so
+    no recomputation), the shared metric/adaptation state is reused as-is,
+    and the key is re-derived so the fanned pool's streams are fresh.
+    Cloned chains start at IDENTICAL positions: run a short discarded
+    decorrelation phase (e.g. `fused_draw_phase` for ~2·(pool/warmed)
+    transitions) before collecting draws — near-iid NUTS transitions
+    (~0.9 ESS/draw at a tuned δ) make clones statistically independent
+    within a handful of transitions; bench.py hard-gates the result with
+    its subsample-ESS extrapolation check every run.
+
+    No reference counterpart (AdvancedHMC.jl warms every chain,
+    /root/reference/src/sampler.jl:159-248) — this is a cross-chain-
+    adaptation capability the reference does not have.
+    """
+    c0 = state.z.theta.shape[0]
+    if not spec.cross_chain:
+        raise ValueError(
+            "fanout_warmup_state requires cross_chain=True (shared "
+            "adaptation state); per-chain adapt leaves would need "
+            "per-chain tiling semantics the estimator does not define"
+        )
+    if n_chains < c0:
+        raise ValueError(f"n_chains {n_chains} < warmed pool {c0}")
+    reps = -(-n_chains // c0)
+
+    def tile(x):
+        return jnp.concatenate([x] * reps, axis=0)[:n_chains]
+
+    z = jax.tree_util.tree_map(tile, state.z)
+    return state.replace(z=z, key=jax.random.fold_in(state.key, n_chains))
+
+
 def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
                      fuse: int, thin: int = 1, online_om=None,
                      unroll: int = 1, progress_cb=None, experimental=None,

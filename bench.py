@@ -217,11 +217,28 @@ def main():
     k_init, k_eps, k_state = jax.random.split(key, 3)
     theta0 = 0.1 * jax.random.normal(k_init, (n_chains, dim), jnp.float32)
 
+    # Warmup pool sizing (r5; VERDICT r4 next #1): cross-chain adaptation
+    # pools Welford/DA statistics over the whole batch, so (ε, M⁻¹)
+    # saturate at ~4096 chains while the warmup WALL scales with the pool
+    # (chain-chunked dispatch is sequential). Warm a 4096-chain sub-pool,
+    # then fan the warmed state out (sampler.fanout_warmup_state) and run
+    # AHMC_BENCH_FANOUT_DECOR discarded decorrelation transitions — both
+    # counted inside warmup_s. Quality is hard-gated by the subsample-ESS
+    # extrapolation check (clone correlation would show up there) plus the
+    # usual moment gates. 0 disables (warm the full pool).
+    _wc_default = 4096 if n_chains > 4096 else 0
+    warmup_chains = int(os.environ.get("AHMC_BENCH_WARMUP_CHAINS",
+                                       _wc_default)) or n_chains
+    warmup_chains = min(warmup_chains, n_chains)
+    fanout_decor = int(os.environ.get("AHMC_BENCH_FANOUT_DECOR", 32))
+    use_fanout = warmup_chains < n_chains and n_warmup > 0
+
     # eps search runs INSIDE init_state so it sees the (possibly
     # gradient-seeded) metric — an identity-metric eps is ~2.7× too small
     # for the seeded M⁻¹ at bench shape, and every warmup transition before
     # dual averaging corrects it runs trees 1-2 doublings too deep.
-    state = init_state(k_state, spec, make_metric("diagonal", dim), theta0,
+    state = init_state(k_state, spec, make_metric("diagonal", dim),
+                       theta0[:warmup_chains] if use_fanout else theta0,
                        init_mass_matrix=mm_init)
     eps0 = float(state.adapt.da.eps)
     print(f"# init step size: {eps0:.4f}", file=sys.stderr)
@@ -319,6 +336,16 @@ def main():
                         jnp.sum(stats["numerical_error"]),
                         jnp.mean(stats["acceptance_rate"]))
 
+    fuse_decor = max(1, min(fuse, fanout_decor))
+    fanout_decor -= fanout_decor % fuse_decor  # block-aligned
+
+    @jax.jit
+    def run_chunk_decor(state):
+        new_st, _, stats = fused_draw_phase(
+            spec, state, max(fanout_decor, fuse_decor), fuse_decor,
+            chain_chunks=chain_chunks, pair=pair)
+        return new_st, jnp.sum(stats["n_steps"])
+
     from advancedhmc_tpu.experimental import fused_draw_phase_ragged
 
     @jax.jit
@@ -356,6 +383,8 @@ def main():
                 cross_chain=True,
             )
 
+        warm_cc = max(1, warmup_chains // 4096)
+
         @functools.partial(jax.jit, static_argnums=(2, 3))
         def run_warm_chunk(state, fl, block, early=False):
             fl = dict(fl)
@@ -363,7 +392,7 @@ def main():
             st, _, wstats = fused_warmup_phase_crosschain(
                 spec_early if early else spec, state,
                 fl["is_adapt"].shape[0], block, flags=fl, depth_caps=caps,
-                pair=pair, chain_chunks=chain_chunks,
+                pair=pair, chain_chunks=warm_cc,
             )
             return st, jnp.sum(wstats["n_steps"])
 
@@ -478,6 +507,12 @@ def main():
                     block, early))
             if eps_research and early_depth:
                 jax.block_until_ready(research_eps(state))
+            if use_fanout and fanout_decor > 0 and n_devices == 1:
+                # pre-pay the decorrelation program's compile/load too
+                from advancedhmc_tpu import fanout_warmup_state as _fan
+
+                jax.block_until_ready(run_chunk_decor(
+                    _fan(spec, state_div, n_chains)))
             warm_load_s = time.time() - t0
             print(f"# warmup programs loaded ({warm_load_s:.1f}s)",
                   file=sys.stderr)
@@ -511,6 +546,23 @@ def main():
                 eps_now = float(jnp.mean(state.adapt.da.eps))
                 print(f"# warmup {start}/{n_warmup} eps={eps_now:.4f} "
                       f"({time.time()-t0:.0f}s)", file=sys.stderr)
+
+    # --- fan the warmed sub-pool out to the full chain count + short
+    # discarded decorrelation run (both inside the warmup wall) ---
+    if use_fanout:
+        from advancedhmc_tpu import fanout_warmup_state
+
+        state = fanout_warmup_state(spec, state, n_chains)
+        if n_devices > 1:
+            state = shard_hmc_state(state, mesh,
+                                    per_chain_adapt=not spec.cross_chain)
+        if fanout_decor > 0:
+            state, dlf = run_chunk_decor(state)
+            jax.block_until_ready(state.z.theta)
+            warm_leapfrogs += float(dlf)
+        print(f"# fanout {warmup_chains}->{n_chains} chains, "
+              f"{fanout_decor} decorrelation transitions "
+              f"({time.time()-t0:.1f}s)", file=sys.stderr)
     t_warm = time.time() - t0
 
     # --- timed sampling phase (pre-compile excluded from timing) ---

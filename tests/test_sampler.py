@@ -635,6 +635,61 @@ def test_rank_update_correlated_gaussian_moments():
     assert abs(np.log(rayleigh / lam_top)) < np.log(2.0), (rayleigh, lam_top)
 
 
+def test_fanout_warmup_state():
+    """Warmup pool sizing (r5): cross-chain warmup on a sub-pool, fan the
+    warmed state out, decorrelate, draw — posterior moments must match a
+    full-pool run, the fanned state must tile positions + caches exactly,
+    and per-chain adaptation must be rejected."""
+    from advancedhmc_tpu import fanout_warmup_state, init_state
+    from advancedhmc_tpu.sampler import (
+        SampleSpec, fused_draw_phase, fused_warmup_phase_crosschain,
+    )
+    from advancedhmc_tpu.adaptation import adapt_flags
+
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(_leapfrog(0.2), GeneralisedNoUTurn(),
+                                  "multinomial"))
+    spec = SampleSpec(target=target, kernel=kernel, adaptor=STAN_ADAPT,
+                      cross_chain=True)
+    st = init_state(jax.random.PRNGKey(5), spec,
+                    make_metric("diagonal", D, dtype=jnp.float64),
+                    jnp.zeros((16, D), jnp.float64), init_eps=0.2)
+    n_adapts = 400
+    flags = adapt_flags(spec.adaptor, n_adapts, n_adapts)
+    st, _, _ = fused_warmup_phase_crosschain(spec, st, n_adapts, 8,
+                                             flags=flags)
+    fanned = fanout_warmup_state(spec, st, 64)
+    # positions + caches tile exactly; shared adapt/metric untouched
+    assert fanned.z.theta.shape == (64, D)
+    np.testing.assert_array_equal(np.asarray(fanned.z.theta[:16]),
+                                  np.asarray(st.z.theta))
+    np.testing.assert_array_equal(np.asarray(fanned.z.theta[16:32]),
+                                  np.asarray(st.z.theta))
+    np.testing.assert_array_equal(np.asarray(fanned.z.logdensity[:16]),
+                                  np.asarray(st.z.logdensity))
+    np.testing.assert_array_equal(np.asarray(fanned.metric.m_inv),
+                                  np.asarray(st.metric.m_inv))
+    # decorrelate (discarded), then draws: clones separate and moments hold
+    fanned, _, _ = fused_draw_phase(spec, fanned, 16, 16)
+    th_after = np.asarray(fanned.z.theta)
+    assert not np.allclose(th_after[:16], th_after[16:32])
+    fanned, thetas, _ = fused_draw_phase(spec, fanned, 192, 16)
+    draws = np.asarray(thetas).reshape(-1, D)
+    np.testing.assert_allclose(draws.var(axis=0), np.asarray(scales),
+                               rtol=0.4)
+    assert np.abs(draws.mean(axis=0) / np.sqrt(np.asarray(scales))).max() \
+        < 0.25
+
+    # per-chain adaptation: clear error
+    spec_pc = SampleSpec(target=target, kernel=kernel, adaptor=STAN_ADAPT,
+                         cross_chain=False)
+    with pytest.raises(ValueError, match="cross_chain"):
+        fanout_warmup_state(spec_pc, st, 64)
+    with pytest.raises(ValueError, match="warmed pool"):
+        fanout_warmup_state(spec, st, 8)
+
+
 def test_ess_dim_chunked_equals_unchunked():
     # bench.py chunks the ESS FFT over the dim axis (the unchunked
     # autocovariance OOMs the chip at dim=1000); ESS is per-dimension
