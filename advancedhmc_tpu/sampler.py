@@ -1059,11 +1059,26 @@ def sample(
     warmup_cap_frac: float = 0.75,
     warmup_eps_research: bool = False,
     warmup_cap_frac2: Optional[float] = None,
+    warmup_chains: int = 0,
+    fanout_decorrelate: int = 32,
 ) -> SampleResult:
     """Sample `n_samples` total iterations (first `n_adapts` adapting).
 
     Mirrors `sample` (/root/reference/src/sampler.jl:159-248) including the
     default n_adapts = min(n_samples ÷ 10, 1000) (sampler.jl:115,166).
+
+    Warmup pool sizing (beyond the reference; cross-chain adaptation +
+    drop_warmup only): `warmup_chains = W < n_chains` runs the whole warmup
+    on the first W chains, then fans the warmed state out to the full pool
+    (`fanout_warmup_state`: positions tiled with their caches, shared
+    metric/ε reused) and runs `fanout_decorrelate` discarded transitions so
+    cloned chains separate before collection. Cross-chain estimates
+    saturate at a few thousand chains while warmup wall scales with the
+    pool, so this divides the warmup wall by ~n_chains/W at identical
+    adaptation quality (measured at bench shape: warmup 2.2 s → 1.0 s at
+    16384 chains with W=4096, posterior moments identical, subsample-ESS
+    extrapolation ratio 0.999 — PERF.md). `warmup_stats` keeps the warmup
+    pool's chain axis (W).
 
     Fast warmup (beyond the reference; cross-chain adaptation only):
     `warmup_depth_cap` runs the first `warmup_cap_frac` of warmup with the
@@ -1097,8 +1112,29 @@ def sample(
         target=target, kernel=kernel, adaptor=adaptor,
         cross_chain=cross_chain, coupled=coupled,
     )
-    state = init_state(key, spec, metric, init_theta, init_eps, n_chains,
-                       init_mass_matrix=init_mass_matrix)
+
+    init_theta = jnp.asarray(init_theta)
+    n_chains_total = (init_theta.shape[0] if init_theta.ndim > 1
+                      else (n_chains or 1))
+    use_fanout = 0 < warmup_chains < n_chains_total and n_adapts > 0
+    if use_fanout:
+        if not cross_chain:
+            raise ValueError(
+                "warmup_chains requires cross_chain=True (the fanned-out "
+                "pool reuses the SHARED adaptation state)")
+        if not drop_warmup:
+            raise ValueError(
+                "warmup_chains requires drop_warmup=True (warmup draws "
+                "have the warmup pool's chain axis and cannot be "
+                "concatenated with the fanned-out draw phase)")
+        theta_w = (init_theta[:warmup_chains] if init_theta.ndim > 1
+                   else init_theta)
+        state = init_state(key, spec, metric, theta_w, init_eps,
+                           warmup_chains if init_theta.ndim == 1 else None,
+                           init_mass_matrix=init_mass_matrix)
+    else:
+        state = init_state(key, spec, metric, init_theta, init_eps, n_chains,
+                           init_mass_matrix=init_mass_matrix)
 
     if mesh is not None:
         # Shard the chain axis over the device mesh; XLA partitions the whole
@@ -1106,6 +1142,33 @@ def sample(
         from .parallel.mesh import shard_hmc_state
 
         state = shard_hmc_state(state, mesh, per_chain_adapt=not cross_chain)
+
+    def _finish_warmup(state):
+        """Fan the warmed sub-pool out + decorrelate (no-op without
+        warmup_chains); runs between the warmup and draw phases."""
+        if not use_fanout:
+            return state
+        state = fanout_warmup_state(spec, state, n_chains_total)
+        if mesh is not None:
+            from .parallel.mesh import shard_hmc_state as _shard
+
+            state = _shard(state, mesh, per_chain_adapt=not cross_chain)
+        n_dec = int(fanout_decorrelate)
+        if n_dec > 0:
+            if (isinstance(kernel.trajectory.criterion,
+                           DynamicTerminationCriterion) and not coupled):
+                state, _, _ = fused_draw_phase(
+                    spec, state, n_dec, n_dec,
+                    chain_chunks=fuse_chain_chunks, pair=fuse_pair)
+            else:
+                f0 = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(
+                        a[n_adapts:n_adapts + 1],
+                        (n_dec,) + a.shape[1:]), flags)
+                state, _ = jax.lax.scan(
+                    lambda s, fl: (sample_step(spec, s, fl)[0], None),
+                    state, f0)
+        return state
 
     flags = adapt_flags(adaptor, n_adapts, n_samples)
 
@@ -1307,7 +1370,7 @@ def sample(
     if online:
         from .diagnostics import online_init, online_summary, online_update
 
-        n_chains_eff = state.z.theta.shape[0]
+        n_chains_eff = n_chains_total  # full pool (post-fanout) chain count
         om0 = online_init(n_chains_eff, target.dim, online_lags,
                           state.z.theta.dtype)
 
@@ -1428,6 +1491,7 @@ def sample(
         if drop_warmup:
             warmup_stats = warm_stats if collect_warmup_stats else None
             warm_thetas = None
+        state = _finish_warmup(state)
         state, thetas, stats, om_final = run_draws(state)
         if not drop_warmup:
             thetas = jnp.concatenate([warm_thetas, thetas], axis=0)
@@ -1481,6 +1545,7 @@ def sample(
         else:
             warm_step = _warm_step(spec)
             state, warmup_stats = jax.lax.scan(warm_step, state, warm_flags)
+        state = _finish_warmup(state)
         state, thetas, stats, om_final = run_draws(state)
     elif use_fused:
         if n_adapts > 0:

@@ -502,9 +502,19 @@ def main():
                 if sig in seen:
                     continue
                 seen.add(sig)
-                jax.block_until_ready(run_warm_chunk(
+                t_tr = time.time()
+                lowered = run_warm_chunk.lower(
                     state_div, _frozen_flags(chunk_flags(pos0, size)),
-                    block, early))
+                    block, early)
+                t_co = time.time()
+                compiled = lowered.compile()
+                t_ex = time.time()
+                jax.block_until_ready(compiled(
+                    state_div, _frozen_flags(chunk_flags(pos0, size))))
+                print(f"# warm program {sig}: trace {t_co-t_tr:.1f}s "
+                      f"compile/load {t_ex-t_co:.1f}s "
+                      f"first-exec {time.time()-t_ex:.1f}s",
+                      file=sys.stderr)
             if eps_research and early_depth:
                 jax.block_until_ready(research_eps(state))
             if use_fanout and fanout_decor > 0 and n_devices == 1:

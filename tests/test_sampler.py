@@ -690,6 +690,44 @@ def test_fanout_warmup_state():
         fanout_warmup_state(spec, st, 8)
 
 
+def test_sample_warmup_chains_param():
+    """sample(warmup_chains=W): warmup runs on W chains, draws on the full
+    pool; warmup_stats keep the W-chain axis; invalid configs error."""
+    scales = jnp.asarray([0.5, 1.0, 2.0, 4.0, 0.25], jnp.float64)
+    target = LogDensityTarget(lambda x: -0.5 * jnp.sum(x**2 / scales), D)
+    kernel = HMCKernel(Trajectory(_leapfrog(0.2), GeneralisedNoUTurn(),
+                                  "multinomial"))
+    theta0 = jnp.zeros((64, D), jnp.float64)
+
+    res = sample(
+        jax.random.PRNGKey(9), target, kernel,
+        make_metric("diagonal", D, dtype=jnp.float64), theta0,
+        600, n_adapts=400, adaptor=STAN_ADAPT, init_eps=0.2,
+        cross_chain=True, drop_warmup=True, fuse_warmup=True,
+        fuse_warmup_block=8, fuse_draws=20,
+        warmup_chains=16, fanout_decorrelate=8,
+    )
+    assert res.thetas.shape == (200, 64, D)
+    assert res.warmup_stats["acceptance_rate"].shape[1] == 16
+    draws = np.asarray(res.thetas).reshape(-1, D)
+    np.testing.assert_allclose(draws.var(axis=0), np.asarray(scales),
+                               rtol=0.4)
+    assert np.abs(draws.mean(axis=0) / np.sqrt(np.asarray(scales))).max() \
+        < 0.25
+    # chains actually decorrelated: cloned blocks differ in the draws
+    last = np.asarray(res.thetas[-1])
+    assert not np.allclose(last[:16], last[16:32])
+
+    for bad in (dict(cross_chain=False), dict(drop_warmup=False)):
+        kw = dict(cross_chain=True, drop_warmup=True)
+        kw.update(bad)
+        with pytest.raises(ValueError, match="warmup_chains"):
+            sample(jax.random.PRNGKey(9), target, kernel,
+                   make_metric("diagonal", D, dtype=jnp.float64), theta0,
+                   600, n_adapts=400, adaptor=STAN_ADAPT, init_eps=0.2,
+                   warmup_chains=16, **kw)
+
+
 def test_ess_dim_chunked_equals_unchunked():
     # bench.py chunks the ESS FFT over the dim axis (the unchunked
     # autocovariance OOMs the chip at dim=1000); ESS is per-dimension
