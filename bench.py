@@ -146,7 +146,10 @@ def main():
         # CPU twin in tests/test_bf16_design.py). Set AHMC_BENCH_X_DTYPE
         # =float32 to disable explicitly.
         _x_env = os.environ.get("AHMC_BENCH_X_DTYPE", "")
-        x_dtype = (_x_env or ("bfloat16" if dim >= 512 else None))
+        # (XLA-CPU has no bf16 dot — the default applies on accelerators)
+        x_dtype = (_x_env or (
+            "bfloat16" if dim >= 512 and jax.default_backend() != "cpu"
+            else None))
         if x_dtype in ("float32", "f32", "none"):
             x_dtype = None
         target = hierarchical_logistic(
@@ -723,15 +726,29 @@ def main():
         # reweighting ESS fraction ≈ 1, else fail loudly (same pattern as
         # the ESS-extrapolation gate). CPU twin: tests/test_bf16_design.py.
         if model == "logistic" and x_dtype is not None:
-            target_exact = hierarchical_logistic(
-                n=1000, p=dim - 1, dtype=jnp.float32)
+            # The EXACT reference must be computed off-device in float64:
+            # on TPU, XLA's bf16-propagation pass already demotes the f32
+            # design matrix inside the model matmuls (PERF.md profiles), so
+            # an on-device "f32" target computes identically to the bf16
+            # one and the gate would be vacuous (measured log w ≡ 0).
+            from advancedhmc_tpu.models.logistic import _synthetic_data
+
+            x64, y64 = _synthetic_data(1000, dim - 1)
             rng_g = np.random.default_rng(0)
             flat = thetas_np.reshape(-1, dim)
             sub = flat[rng_g.choice(len(flat), min(4096, len(flat)),
                                     replace=False)]
+            ls64 = sub[:, 0].astype(np.float64)
+            beta64 = sub[:, 1:].astype(np.float64)
+            logits64 = beta64 @ x64.T                      # (N, n)
+            lp_e = (
+                -0.5 * ls64**2
+                - 0.5 * (beta64**2).sum(1) * np.exp(-2 * ls64)
+                - (dim - 1) * ls64
+                + (y64[None, :] * logits64
+                   - np.logaddexp(0.0, logits64)).sum(1)
+            )
             sub_j = jnp.asarray(sub)
-            lp_e = np.asarray(jax.jit(jax.vmap(target_exact.logdensity))(
-                sub_j), np.float64)
             lp_b = np.asarray(jax.jit(jax.vmap(target.logdensity))(
                 sub_j), np.float64)
             logw = lp_e - lp_b

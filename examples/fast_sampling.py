@@ -37,6 +37,11 @@ def main():
         fuse_pair=True,              # leaf-pair loop (+43% on the bench)
         fuse_chain_chunks=max(1, n_chains // 4096),  # VMEM-spill guard
         drop_warmup=True,
+        # warmup pool sizing: warm 1/4 of the pool, fan the adapted state
+        # out, decorrelate — warmup wall /4 at identical quality (r5;
+        # PERF.md "warmup pool sizing"); needs cross_chain + drop_warmup
+        warmup_chains=n_chains // 4,
+        fanout_decorrelate=16,
     )
     print("draws:", res.thetas.shape)
     ahmc.summarize(res)
