@@ -114,3 +114,35 @@ def _run_fused(mesh):
         adaptor=AdaptorConfig(kind="stan"), init_eps=0.4,
         cross_chain=True, mesh=mesh, fuse_draws=20,
     )
+
+
+def test_mesh_warmup_chains_fanout_matches_unsharded():
+    """Warmup pool sizing on the mesh: sample(warmup_chains=W) with a
+    sharded chain axis produces the same draws as the unsharded run (the
+    fanout tile + decorrelation + draw phases are chain-parallel, so GSPMD
+    partitioning must be value-preserving)."""
+    target = std_gaussian(D)
+    kernel = HMCKernel(
+        Trajectory(Leapfrog(step_size=jnp.asarray(0.3, jnp.float64)),
+                   GeneralisedNoUTurn(max_depth=5), "multinomial")
+    )
+
+    def run(mesh):
+        return sample(
+            jax.random.PRNGKey(3), target, kernel,
+            make_metric("diagonal", D, dtype=jnp.float64),
+            jnp.zeros((N_CHAINS, D), jnp.float64),
+            80, n_adapts=40, adaptor=AdaptorConfig(kind="stan"),
+            init_eps=0.3, cross_chain=True, drop_warmup=True,
+            fuse_draws=20, warmup_chains=8, fanout_decorrelate=4,
+            mesh=mesh,
+        )
+
+    res_plain = run(None)
+    res_mesh = run(mesh_of_all_devices())
+    assert res_plain.thetas.shape == (40, N_CHAINS, D)
+    np.testing.assert_allclose(np.asarray(res_plain.thetas),
+                               np.asarray(res_mesh.thetas),
+                               rtol=0, atol=1e-10)
+    draws = np.asarray(res_mesh.thetas).reshape(-1, D)
+    assert abs(draws.mean()) < 0.25
