@@ -58,13 +58,15 @@ def main():
     from advancedhmc_tpu.sampler import SampleSpec
     from advancedhmc_tpu.models import hierarchical_logistic
 
-    # 16384 adopted r4: with chain-chunked draws AND warmup (auto, 4096-chain
-    # sub-batches) throughput is flat in chain count while the ESS pool
-    # quadruples — 5.02M ESS/s draws / 30.05M leapfrog/s / 2.36M end-to-end
-    # incl. warmup, vs 4.97M / 29.8M / 1.79M at 4096 (PERF.md). ChEES
-    # extras scale even better (5.2M ESS/s, min-dim 3.6M at 16k chains).
-    n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 16384))
-    n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 512))  # 4 chunks: timing noise ~halves vs 256
+    # 32768 adopted r5: warmup pool sizing removed the only penalty of the
+    # bigger pool (warmup no longer scales with chain count — the sub-pool
+    # warms in ~0.8 s regardless), so 32k wins BOTH metrics: 5.21M ESS/s
+    # draws / 3.70M end-to-end incl. warmup vs 4.98M / 3.3-3.7M at 16384
+    # (PERF.md "warmup pool sizing"). Draw-phase throughput is flat in
+    # chain count (chain-chunked dispatch); moments/min-dim/extrapolation
+    # gates identical. 256 draws/chain keeps the wall at the 16k/512 level.
+    n_chains = int(os.environ.get("AHMC_BENCH_CHAINS", 32768))
+    n_draws = int(os.environ.get("AHMC_BENCH_DRAWS", 256))
     # 128 adopted in r3. NOTE at 128 iters Stan's 75/50 buffers leave no
     # complete window, so M⁻¹ stays at the gradient seed the whole warmup —
     # on this posterior that seed is already good enough that every quality
