@@ -54,6 +54,7 @@ from .adaptation import (
 )
 from .sampler import (HMCState, SampleResult, SampleSpec, fanout_warmup_state,
                       init_state, sample, sample_step)
+from .aot import aot_program, aot_signature
 from .chees import chees_tau_sweep, sample_chees
 from .constructors import HMC, HMCDA, NUTS, SamplerConfig, make_integrator
 from .diagnostics import (ebfmi, effective_sample_size, ess_bulk,
@@ -82,4 +83,5 @@ __all__ = [
     "NUTS", "HMC", "HMCDA", "SamplerConfig", "make_integrator",
     "ebfmi", "effective_sample_size", "ess_bulk", "ess_tail", "rhat",
     "split_rhat", "summarize",
+    "aot_program", "aot_signature",
 ]

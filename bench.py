@@ -488,6 +488,42 @@ def main():
         # property of the executable, not the data, so this pays the full
         # load/upload cost at ~1/10 the execution cost of a real warmup —
         # warmup_load_s drops from ~3.1 s to ~1 s at bench shape.
+        # AOT program artifacts (NEXT #2): AHMC_BENCH_AOT=1 replaces the
+        # Python trace of each warm-chunk program with a jax.export
+        # artifact cached under AHMC_AOT_DIR (default /tmp/ahmc_aot_cache)
+        # — repeat runs deserialize StableHLO in ~ms instead of re-tracing
+        # (~1.9 s at bench shape, PERF.md "Program-load floor"). The cache
+        # signature covers avals + jax version + device kind; the
+        # program-identity fingerprint below additionally covers every
+        # AHMC_BENCH_* knob, the core config tuple, and the mtime/size of
+        # bench.py + every package source file, so ANY code or config edit
+        # re-traces rather than aliasing a stale artifact. Cache-hit calls
+        # replay the original trace's StableHLO (bitwise semantics pinned
+        # by tests/test_aot.py).
+        use_aot = os.environ.get("AHMC_BENCH_AOT", "0") == "1"
+        aot_calls = {}
+        if use_aot:
+            import hashlib as _hashlib
+            import pathlib as _pathlib
+
+            from advancedhmc_tpu.aot import aot_program
+
+            import advancedhmc_tpu as _ahmc
+
+            _pkg = _pathlib.Path(_ahmc.__file__).parent
+            _src = "".join(
+                f"{p.relative_to(_pkg)}:{p.stat().st_mtime_ns}:"
+                f"{p.stat().st_size};"
+                for p in sorted(_pkg.rglob("*.py")))
+            _me = _pathlib.Path(__file__)
+            _src += f"bench:{_me.stat().st_mtime_ns}:{_me.stat().st_size}"
+            _env = repr(sorted((k, v) for k, v in os.environ.items()
+                               if k.startswith("AHMC_BENCH_")))
+            _cfg = repr((model, dim, n_chains, n_warmup, delta, max_depth,
+                         pair, warm_cc, mm_kind, mm_init))
+            aot_fp = _hashlib.sha256(
+                (_src + _env + _cfg).encode()).hexdigest()[:16]
+
         if os.environ.get("AHMC_BENCH_WARM_THROWAWAY", "1") == "1":
             state_div = state.replace(adapt=state.adapt.replace(
                 da=DualAveragingState.init(
@@ -507,15 +543,37 @@ def main():
                 if sig in seen:
                     continue
                 seen.add(sig)
+                fl_ex = _frozen_flags(chunk_flags(pos0, size))
+                if use_aot:
+                    t_tr = time.time()
+                    try:
+                        call, src = aot_program(
+                            lambda s, f, _b=block, _e=early:
+                                run_warm_chunk(s, f, _b, _e),
+                            (state_div, fl_ex),
+                            program_id=(f"warm_chunk/{aot_fp}/"
+                                        f"{size}/{block}/{early}"),
+                            verbose=True)
+                    except Exception as e:  # e.g. platform unsupported
+                        print(f"# aot: export failed ({e!r}); falling "
+                              "back to jit", file=sys.stderr)
+                        use_aot = False
+                    else:
+                        aot_calls[sig] = call
+                        t_ex = time.time()
+                        jax.block_until_ready(call(state_div, fl_ex))
+                        print(f"# warm program {sig}: aot[{src}] "
+                              f"{t_ex-t_tr:.1f}s "
+                              f"first-exec {time.time()-t_ex:.1f}s",
+                              file=sys.stderr)
+                        continue
                 t_tr = time.time()
                 lowered = run_warm_chunk.lower(
-                    state_div, _frozen_flags(chunk_flags(pos0, size)),
-                    block, early)
+                    state_div, fl_ex, block, early)
                 t_co = time.time()
                 compiled = lowered.compile()
                 t_ex = time.time()
-                jax.block_until_ready(compiled(
-                    state_div, _frozen_flags(chunk_flags(pos0, size))))
+                jax.block_until_ready(compiled(state_div, fl_ex))
                 print(f"# warm program {sig}: trace {t_co-t_tr:.1f}s "
                       f"compile/load {t_ex-t_co:.1f}s "
                       f"first-exec {time.time()-t_ex:.1f}s",
@@ -543,8 +601,12 @@ def main():
                     da=DualAveragingState.init(eps_new)))
                 print(f"# re-anchored eps at switch: {float(eps_new):.4f}",
                       file=sys.stderr)
-            state, wlf = run_warm_chunk(state, chunk_flags(pos0, size),
-                                        block, early)
+            runner = aot_calls.get((size, block, early))
+            if runner is not None:
+                state, wlf = runner(state, chunk_flags(pos0, size))
+            else:
+                state, wlf = run_warm_chunk(state, chunk_flags(pos0, size),
+                                            block, early)
             jax.block_until_ready(state.z.theta)
             warm_leapfrogs += float(wlf)
             eps_now = float(jnp.mean(state.adapt.da.eps))
