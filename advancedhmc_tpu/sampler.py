@@ -156,6 +156,25 @@ class SampleSpec:
         return self._fingerprint() == other._fingerprint()
 
 
+def _progress_payload(stats_last, metric):
+    """Full live-display payload for a progress callback: the core stats
+    plus tree depth / log density / energy when present and a mass-matrix
+    summary — the fused-path analogue of the reference's per-iteration
+    ProgressMeter fields (/root/reference/src/abstractmcmc.jl:221-291)."""
+    payload = {k: stats_last[k]
+               for k in ("acceptance_rate", "step_size", "numerical_error",
+                         "tree_depth", "log_density", "hamiltonian_energy")
+               if k in stats_last}
+    mi = getattr(metric, "m_inv", None)
+    if mi is not None:
+        from .metrics import DenseEuclideanMetric as _DenseM
+
+        if isinstance(metric, _DenseM):
+            mi = jnp.diagonal(mi, axis1=-2, axis2=-1)
+        payload["mm_diag"] = mi
+    return payload
+
+
 def _one_chain_transition(spec: SampleSpec, key, metric, eps, z,
                           coupled_key=None):
     """jitter → refresh → trajectory transition (ref sampler.jl:48-58)."""
@@ -383,8 +402,8 @@ def fused_draw_phase(spec: SampleSpec, state: HMCState, n_draws: int,
 
             _io_callback(
                 progress_cb, None, new_st.iteration,
-                {k: stats[k][-1] for k in
-                 ("acceptance_rate", "step_size", "numerical_error")},
+                _progress_payload({k: v[-1] for k, v in stats.items()},
+                                  new_st.metric),
                 ordered=True,
             )
         if online:
@@ -656,8 +675,8 @@ def fused_warmup_phase_crosschain(spec: SampleSpec, state: HMCState,
 
             _io_callback(
                 progress_cb, None, new_st.iteration,
-                {k: stats[k][-1] for k in
-                 ("acceptance_rate", "step_size", "numerical_error")},
+                _progress_payload({k: v[-1] for k, v in stats.items()},
+                                  new_st.metric),
                 ordered=True,
             )
         return new_st, (ths, stats)
@@ -1199,23 +1218,13 @@ def sample(
             )
         print(" | ".join(parts), flush=True)
 
-    _PROGRESS_KEYS = ("acceptance_rate", "step_size", "numerical_error",
-                      "tree_depth", "log_density", "hamiltonian_energy")
-
     def _maybe_progress(new_state, stats):
         # ≅ the reference's ProgressMeter + divergence display
         # (/root/reference/src/sampler.jl:95-103,195-218)
         if progress:
             import jax.experimental
 
-            from .metrics import DenseEuclideanMetric as _DenseM
-
-            payload = {k: stats[k] for k in _PROGRESS_KEYS if k in stats}
-            mi = getattr(new_state.metric, "m_inv", None)
-            if mi is not None:
-                if isinstance(new_state.metric, _DenseM):
-                    mi = jnp.diagonal(mi, axis1=-2, axis2=-1)
-                payload["mm_diag"] = mi
+            payload = _progress_payload(stats, new_state.metric)
             jax.lax.cond(
                 new_state.iteration % progress_every == 0,
                 lambda: jax.experimental.io_callback(

@@ -745,3 +745,24 @@ def test_ess_dim_chunked_equals_unchunked():
         for j in range(0, 13, 4)
     ])
     np.testing.assert_allclose(chunked, full, rtol=1e-12)
+
+
+def test_progress_display_full_stat_set(capsys):
+    """Live progress shows the FULL stat set — acceptance, eps, divergence,
+    tree depth, and the mass-matrix summary — on BOTH the scan path and the
+    fused warmup/draw paths (≅ HMCProgressCallback fields,
+    /root/reference/src/abstractmcmc.jl:221-291; the fused paths used to
+    drop everything but 3 core stats)."""
+    kernel = HMCKernel(
+        Trajectory(_leapfrog(0.3), GeneralisedNoUTurn(max_depth=4),
+                   "multinomial"))
+    for fuse_kw in ({}, {"fuse_warmup": True, "fuse_warmup_block": 8,
+                         "fuse_draws": 8}):
+        _run(kernel, "diagonal", STAN_ADAPT, n=48, n_adapts=32,
+             cross_chain=True, init_eps=0.3, progress=True,
+             progress_every=8, **fuse_kw)
+        out = capsys.readouterr().out
+        assert "[advancedhmc_tpu]" in out, fuse_kw
+        line = [l for l in out.splitlines() if "[advancedhmc_tpu]" in l][-1]
+        for field in ("accept", "eps", "div", "depth", "M⁻¹"):
+            assert field in line, (fuse_kw, line)
